@@ -1,0 +1,111 @@
+"""Algorithm configuration for the TPU-native SIFT engine.
+
+The reference (sift-features, /root/reference/src/lib.rs:92-113,179-193,297,516,
+798,954,978) hard-codes every algorithm parameter as a compile-time const; the
+constants ARE the OpenCV-compatibility spec. We expose them as a frozen dataclass
+so they are pinned by parity tests but still introspectable/overridable for
+experimentation. Changing any default breaks OpenCV/golden parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    # --- scale space (lib.rs:92, 179-193) ---
+    scales_per_octave: int = 3
+    sigma_in: float = 0.5          # assumed blur of the input image
+    sigma_min: float = 0.8         # blur level of the seed image
+    inv_delta_min: int = 2         # seed image is a 2x upsample
+    delta_min: float = 0.5
+
+    # --- detection (lib.rs:93-100, 516) ---
+    contrast_threshold: float = 0.04
+    edge_threshold: float = 10.0
+    image_border: int = 5
+    max_interpolation_steps: int = 5
+
+    # --- orientation assignment (lib.rs:96-104, 297) ---
+    n_orientation_bins: int = 36
+    lambda_ori: float = 1.5
+    orientation_localmax_ratio: float = 0.8
+
+    # --- descriptor (lib.rs:105-112, 798, 954, 978) ---
+    lambda_descr: float = 3.0
+    descriptor_n_histograms: int = 4
+    descriptor_n_bins: int = 8
+    descriptor_magnitude_cap: float = 0.2
+    descriptor_l2_norm: float = 512.0
+
+    # --- fixed-shape capacities (TPU-only; no reference analog) ---
+    # Max raw discrete extrema per octave kept for refinement. Dense scans on the
+    # test images yield O(1e3) per octave; capacity overflows are detected and
+    # surfaced by the pipeline.
+    max_candidates_per_octave: int = 8192
+    # Max emitted keypoints (across orientations) per octave.
+    max_keypoints_per_octave: int = 8192
+    # Max total keypoints for the whole image (global output buffer).
+    max_keypoints: int = 16384
+
+    @property
+    def descriptor_size(self) -> int:
+        return self.descriptor_n_histograms ** 2 * self.descriptor_n_bins
+
+    @property
+    def n_scale_images(self) -> int:
+        """Gaussian images per octave (lib.rs:218-221)."""
+        return self.scales_per_octave + 3
+
+    @property
+    def n_dog_images(self) -> int:
+        return self.scales_per_octave + 2
+
+    @property
+    def seed_sigma(self) -> float:
+        """Pre-blur applied to the 2x-upsampled seed image (lib.rs:207)."""
+        return math.sqrt(self.sigma_min ** 2 - self.sigma_in ** 2) * self.inv_delta_min
+
+    def octave_sigmas(self) -> list[float]:
+        """Incremental blur sigmas within an octave, Eq. (7) of IPOL'14
+        (lib.rs:220-229). Index 0 is unused (seed/base image of the octave).
+
+        Uses LLVM-powi (square-and-multiply) semantics for m.powi(s-1) so the
+        f64 sigma values are bit-identical to the reference's; they feed the
+        Gaussian kernel generation, where last-ULP differences would propagate
+        through five chained blurs per octave.
+        """
+
+        def powi(x: float, n: int) -> float:
+            if n < 0:
+                return 1.0 / powi(x, -n)
+            r, b = 1.0, x
+            while n:
+                if n & 1:
+                    r = r * b
+                b = b * b
+                n >>= 1
+            return r
+
+        m = 2.0 ** (2.0 / self.scales_per_octave)
+        out = []
+        for s in range(self.scales_per_octave + 3):
+            a = powi(m, s - 1)
+            b = a * m
+            out.append(math.sqrt(b - a) * self.sigma_min * self.inv_delta_min)
+        return out
+
+    def n_octaves(self, height: int, width: int) -> int:
+        """Number of octaves for a seed image of (height, width)
+        (lib.rs:133-134). Uses f32 log2 + round-half-away like the reference."""
+        import numpy as np
+
+        min_axis = np.float32(min(width, height))
+        v = np.float32(np.log2(min_axis)) - np.float32(2.0)
+        # Rust f32::round = half away from zero; values here are positive.
+        return int(np.floor(v + np.float32(0.5))) + 1
+
+
+DEFAULT_CONFIG = SiftConfig()

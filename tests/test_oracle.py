@@ -1,0 +1,92 @@
+"""Validation of the NumPy oracle — the exact-semantics CPU reference that the
+TPU kernels unit-test against.
+
+Two independent cross-checks:
+ 1. vs cv2.SIFT on the identical gray input (same OpenCV blur backend ⇒ the
+    detection/orientation math must agree to ~1e-3 px; OpenCV reports size 2x).
+ 2. vs the reference crate's committed snapshot goldens, as a correspondence
+    test. Byte-exactness vs the goldens is unattainable in this environment:
+    the goldens bake in zune-jpeg decode + the author's OpenCV 4.x build
+    (SIMD/FMA accumulation), both of which differ here at the ±1-gray-level /
+    few-ULP level. Measured attribution: running the SAME pipeline on two gray
+    decodes that differ by mean 1.8 levels already drops correspondence to
+    ~89%, which fully explains the golden gap. See tests' thresholds.
+"""
+
+import numpy as np
+import pytest
+
+from sift_features_tpu.io.snapshots import load_golden
+from sift_features_tpu.oracle import oracle
+
+
+@pytest.fixture(scope="module")
+def oracle_result_cv2gray(bird_small_cv2):
+    return oracle.sift(bird_small_cv2)
+
+
+def test_oracle_matches_cv2_sift(bird_small_cv2, oracle_result_cv2gray):
+    import cv2
+
+    kps, desc = oracle_result_cv2gray
+    s = cv2.SIFT_create(contrastThreshold=0.04, edgeThreshold=10, sigma=1.6)
+    ckps, cdesc = s.detectAndCompute(bird_small_cv2, None)
+    carr = np.array([[k.pt[0], k.pt[1], k.size / 2, k.angle, k.response] for k in ckps],
+                    np.float32)
+    # cv2 dedups keypoints (removeDuplicatedSorted); the crate does not — so
+    # match cv2 -> ours.
+    matched = 0
+    desc_dists = []
+    for i, c in enumerate(carr):
+        d = np.hypot(kps[:, 0] - c[0], kps[:, 1] - c[1])
+        j = np.argmin(d)
+        if (d[j] < 1e-3 and abs(kps[j, 2] - c[2]) < 1e-3
+                and abs(kps[j, 4] - c[4]) < 1e-4):
+            matched += 1
+            desc_dists.append(np.linalg.norm(
+                desc[j].astype(np.float32) - cdesc[i].astype(np.float32)))
+    frac = matched / len(carr)
+    assert frac >= 0.97, f"only {matched}/{len(carr)} cv2.SIFT keypoints reproduced"
+    # descriptors: cv2 uses fastAtan2 (~0.3 deg error) so bytes differ slightly,
+    # but the vectors must be the same feature (inter-feature L2 is ~450).
+    assert np.median(desc_dists) < 30, np.median(desc_dists)
+
+
+def test_oracle_golden_correspondence(bird_small, reference_root):
+    g_kps, g_desc = load_golden(reference_root, "bird_small")
+    kps, desc = oracle.sift(bird_small)
+    assert abs(len(kps) - len(g_kps)) <= 10
+    used = np.zeros(len(kps), bool)
+    corr = 0
+    desc_l2 = []
+    for gi, g in enumerate(g_kps):
+        d = np.hypot(kps[:, 0] - g[0], kps[:, 1] - g[1])
+        ang = np.minimum(np.abs(kps[:, 3] - g[3]), 360 - np.abs(kps[:, 3] - g[3]))
+        ok = (d < 0.5) & (np.abs(kps[:, 2] - g[2]) < 0.05 * g[2]) & (ang < 2.0) & ~used
+        if ok.any():
+            j = np.where(ok)[0][np.argmin(d[ok])]
+            used[j] = True
+            corr += 1
+            desc_l2.append(np.linalg.norm(
+                desc[j].astype(np.float32) - g_desc[gi].astype(np.float32)))
+    frac = corr / len(g_kps)
+    assert frac >= 0.80, f"golden correspondence {frac:.3f}"
+    assert np.median(desc_l2) < 30  # same feature; inter-feature distance ~450
+
+
+def test_oracle_features_limit(bird_small_cv2):
+    kps, desc = oracle.sift(bird_small_cv2, features_limit=50)
+    assert len(kps) == 50 and desc.shape == (50, 128)
+    # sorted by response desc (lib.rs:156-161)
+    assert np.all(np.diff(kps[:, 4]) <= 0)
+
+
+def test_rust_round():
+    r = oracle.rust_round_f32
+    assert r(np.float32(0.5)) == 1.0
+    assert r(np.float32(-0.5)) == -1.0
+    assert r(np.float32(2.5)) == 3.0
+    assert r(np.float32(-2.5)) == -3.0
+    assert r(np.float32(0.49999997)) == 0.0
+    assert r(np.float32(1.4999999)) == 1.0
+    assert r(np.float32(2.4999998)) == 2.0
