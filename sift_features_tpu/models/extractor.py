@@ -1,0 +1,177 @@
+"""End-to-end SIFT extractor (the framework's flagship 'model').
+
+Orchestrates the TPU pipeline per SURVEY.md §3.1's call stack, re-designed
+dense/batched/fixed-shape:
+
+    seed -> per-octave [blur chain -> DoG -> extrema mask -> candidate
+    compaction -> Newton refinement -> contrast/edge -> survivor compaction
+    -> orientation histograms -> (cand, bin) emission compaction ->
+    descriptors] -> concatenated fixed-capacity keypoint buffers
+
+Everything under one jit per input shape; batch axis (frames) is the primary
+throughput axis. Host-side compaction to ragged numpy arrays happens at the
+edge only. The octave chain is serial (lib.rs:241-249) — parallelism comes
+from the batch and from each octave's dense ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, SiftConfig
+from ..ops import descriptor as desc_ops
+from ..ops import extrema as ext_ops
+from ..ops import orientation as ori_ops
+from ..ops import pyramid as pyr_ops
+from ..utils.compact import compact_indices
+
+F32 = jnp.float32
+
+
+def _octave_capacities(h: int, w: int, cfg: SiftConfig):
+    """Static per-octave buffer sizes: raw candidates K, survivors K2,
+    emitted keypoints M (multiples of 128 for clean blocking)."""
+    k = max(512, min(cfg.max_candidates_per_octave, (3 * h * w) // 32))
+    k = -(-k // 128) * 128
+    k2 = max(256, k // 4)
+    m = min(cfg.max_keypoints_per_octave, max(256, k2))
+    return k, k2, -(-m // 128) * 128
+
+
+def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
+                   cfg: SiftConfig):
+    """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W).
+
+    Returns dict of fixed-capacity (M,) keypoint fields + overflow counters.
+    """
+    S, h, w = dog.shape
+    K, K2, M = _octave_capacities(h, w, cfg)
+
+    mask = ext_ops.extrema_mask(dog, cfg)
+    s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
+    ref = ext_ops.refine(dog, s0, y0, x0, valid, cfg)
+    response, keep = ext_ops.contrast_and_edge(
+        dog, ref["s"], ref["y"], ref["x"],
+        ref["off_s"], ref["off_y"], ref["off_x"], cfg)
+    keep &= ref["ok"] & valid
+
+    # survivor compaction
+    sidx, svalid, n_surv = compact_indices(keep, K2)
+    s = ref["s"][sidx]
+    y = ref["y"][sidx]
+    x = ref["x"][sidx]
+    off_s = ref["off_s"][sidx]
+    off_y = ref["off_y"][sidx]
+    off_x = ref["off_x"][sidx]
+    resp = response[sidx]
+
+    kp_scale = ori_ops.kp_scale_of(s, off_s, cfg)
+
+    gauss_padded = jnp.pad(gauss, ((0, 0),
+                                   (desc_ops.PAD_DESC, desc_ops.PAD_DESC),
+                                   (desc_ops.PAD_DESC, desc_ops.PAD_DESC)))
+    hist = ori_ops.orientation_histograms(
+        gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
+        pad=desc_ops.PAD_DESC)
+    angles, emit = ori_ops.orientation_peaks(hist, cfg)
+    emit &= svalid[:, None]
+
+    # (survivor, bin) emission compaction -> keypoint batch
+    eidx, evalid, n_emit = compact_indices(emit.ravel(), M)
+    ci = eidx // cfg.n_orientation_bins
+    bi = eidx % cfg.n_orientation_bins
+    kp_angle = angles[ci, bi]
+    kp_angle = jnp.where(evalid, kp_angle, F32(0.0))
+
+    x_oct = x.astype(F32)[ci] + off_x[ci]
+    y_oct = y.astype(F32)[ci] + off_y[ci]
+    kp_sc = kp_scale[ci]
+    kp_resp = resp[ci]
+    kp_s = s[ci]
+
+    descs = desc_ops.descriptor_batch_blocked(
+        gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid, cfg)
+
+    osf = F32(2.0 ** octave)
+    dm = F32(cfg.delta_min)
+    kps = jnp.stack([
+        (x_oct * osf) * dm,
+        (y_oct * osf) * dm,
+        (kp_sc * osf) * dm,
+        kp_angle,
+        kp_resp,
+    ], axis=-1)
+    return {
+        "kps": kps, "desc": descs, "valid": evalid,
+        "n_candidates": n_cand, "n_survivors": n_surv, "n_emitted": n_emit,
+        "caps": (K, K2, M),
+    }
+
+
+def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
+    """Full single-image pipeline (traced once per (H, W))."""
+    seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]
+    octs = []
+    initial = seed
+    sigmas = cfg.octave_sigmas()
+    out = []
+    for o in range(n_octaves):
+        imgs = [initial]
+        for sig in sigmas[1:]:
+            from ..ops.gaussian import gaussian_blur
+
+            imgs.append(gaussian_blur(imgs[-1], sig))
+        gauss = jnp.stack(imgs, axis=0)
+        dog = gauss[1:] - gauss[:-1]
+        out.append(_detect_octave(gauss, dog, o, cfg))
+        from ..ops.resize import resize_nearest_half
+
+        initial = resize_nearest_half(imgs[len(imgs) - 3])
+        octs.append(gauss)
+    res = {
+        "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
+        "desc": jnp.concatenate([r["desc"] for r in out], axis=0),
+        "valid": jnp.concatenate([r["valid"] for r in out], axis=0),
+        "n_candidates": jnp.stack([r["n_candidates"] for r in out]),
+        "n_survivors": jnp.stack([r["n_survivors"] for r in out]),
+        "n_emitted": jnp.stack([r["n_emitted"] for r in out]),
+    }
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_batch_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
+    return jax.vmap(lambda im: _extract_single(im, n_octaves, cfg))(imgs_u8)
+
+
+def extract_batch(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):
+    """Device-side batched extraction: (B, H, W) u8 -> padded result pytree
+    (kps (B,N,5) f32, desc (B,N,128) u8, valid (B,N) bool, stage counters)."""
+    imgs_u8 = jnp.asarray(imgs_u8, jnp.uint8)
+    h, w = imgs_u8.shape[-2], imgs_u8.shape[-1]
+    n_oct = config.n_octaves(h * config.inv_delta_min, w * config.inv_delta_min)
+    return _extract_batch_jit(imgs_u8, n_oct, config)
+
+
+def extract(img_u8, features_limit: int | None = None,
+            config: SiftConfig = DEFAULT_CONFIG):
+    """Single-image extraction matching the reference's sift() (lib.rs:71-81).
+
+    Returns (keypoints (N,5) f32 [x,y,size,angle,response] in original image
+    coords, descriptors (N,128) u8), compacted on host, in the reference's
+    emission order (octave-major scan order; response-sorted when limited).
+    """
+    img_u8 = np.asarray(img_u8)
+    res = extract_batch(img_u8[None], config)
+    kps = np.asarray(res["kps"])[0]
+    desc = np.asarray(res["desc"])[0]
+    valid = np.asarray(res["valid"])[0]
+    kps, desc = kps[valid], desc[valid]
+    if features_limit is not None and features_limit < len(kps):
+        order = np.argsort(-kps[:, 4], kind="stable")[:features_limit]
+        kps, desc = kps[order], desc[order]
+    return kps, desc

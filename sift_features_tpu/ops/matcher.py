@@ -1,0 +1,67 @@
+"""Brute-force descriptor matching (JAX, TPU-native).
+
+The reference delegates matching to OpenCV's BFMatcher(NORM_L2,
+crossCheck=true) in its examples (examples/sift-match.rs:30-39,
+opencv-cross-match.rs:63-90) — matching is therefore first-class framework
+code here, not a port (SURVEY.md §2.3/§7).
+
+TPU design: ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b as a tiled MXU matmul over
+the u8 descriptors (upcast f32 — values are integers <= 255 so f32 products
+are exact; distances match OpenCV's f32 L2 on upcast descriptors).
+Cross-check = mutual row/column argmin, replicating BFMatcher's semantics:
+argmin ties resolve to the lowest index (jnp.argmin does the same).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Matches:
+    """query index / train index / L2 distance for each retained match."""
+
+    query_idx: np.ndarray
+    train_idx: np.ndarray
+    distance: np.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _match_jit(d_train: jnp.ndarray, d_query: jnp.ndarray, cross_check: bool):
+    a = d_train.astype(jnp.float32)
+    b = d_query.astype(jnp.float32)
+    # squared L2 distance matrix (Q, T) on the MXU
+    aa = jnp.sum(a * a, axis=1)
+    bb = jnp.sum(b * b, axis=1)
+    ab = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    d2 = bb[:, None] + aa[None, :] - 2.0 * ab
+    d2 = jnp.maximum(d2, 0.0)
+    best_train = jnp.argmin(d2, axis=1)            # per query
+    best_d2 = jnp.min(d2, axis=1)
+    if cross_check:
+        best_query = jnp.argmin(d2, axis=0)        # per train
+        keep = best_query[best_train] == jnp.arange(d2.shape[0])
+    else:
+        keep = jnp.ones(d2.shape[0], bool)
+    return best_train, jnp.sqrt(best_d2), keep
+
+
+def match_brute_force(d_train, d_query, cross_check: bool = True) -> Matches:
+    """BFMatcher.match(query) analog: d_train was 'add'ed, d_query matched.
+
+    Returns matches for each query descriptor whose nearest train descriptor
+    is mutual (when cross_check). Arrays are (N,128) u8 or f32.
+    """
+    d_train = jnp.asarray(d_train)
+    d_query = jnp.asarray(d_query)
+    bt, dist, keep = _match_jit(d_train, d_query, cross_check)
+    bt, dist, keep = np.asarray(bt), np.asarray(dist), np.asarray(keep)
+    qi = np.nonzero(keep)[0]
+    return Matches(query_idx=qi, train_idx=bt[qi], distance=dist[qi])
