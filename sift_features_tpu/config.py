@@ -44,11 +44,11 @@ class SiftConfig:
     # Max raw discrete extrema per octave kept for refinement. Dense scans on the
     # test images yield O(1e3) per octave; capacity overflows are detected and
     # surfaced by the pipeline.
-    max_candidates_per_octave: int = 8192
+    max_candidates_per_octave: int = 32768
     # Max emitted keypoints (across orientations) per octave.
     max_keypoints_per_octave: int = 8192
     # Max total keypoints for the whole image (global output buffer).
-    max_keypoints: int = 16384
+    max_keypoints: int = 32768
 
     @property
     def descriptor_size(self) -> int:

@@ -118,21 +118,6 @@ def descriptor_batch(gauss_padded: jnp.ndarray, h: int, w: int,
     cfl = jnp.where(ok, cfl, F32(0.0))
     ofl = jnp.where(ok, ofl, F32(0.0))
 
-    c1 = m * rfr
-    c0 = m - c1
-    c11 = c1 * cfr
-    c10 = c1 - c11
-    c01 = c0 * cfr
-    c00 = c0 - c01
-    c111 = c11 * ofr
-    c110 = c11 - c111
-    c101 = c10 * ofr
-    c100 = c10 - c101
-    c011 = c01 * ofr
-    c010 = c01 - c011
-    c001 = c00 * ofr
-    c000 = c00 - c001
-
     side = n_hist + 2
     # masked lanes: rb/cb can be wild for masked samples; clamp indices into
     # range, contributions are zero there anyway
@@ -144,18 +129,38 @@ def descriptor_batch(gauss_padded: jnp.ndarray, h: int, w: int,
     of = jnp.clip(of, 0, n_bins - 1)
     of1 = jnp.where(of + 1 >= n_bins, 0, of + 1)
 
-    flat = lambda r, c, o: (r * side + c) * n_bins + o  # noqa: E731
-    idx8 = jnp.stack([
-        flat(r1, c1i, of), flat(r1, c1i, of1),
-        flat(r1, c1i + 1, of), flat(r1, c1i + 1, of1),
-        flat(r1 + 1, c1i, of), flat(r1 + 1, c1i, of1),
-        flat(r1 + 1, c1i + 1, of), flat(r1 + 1, c1i + 1, of1),
-    ], axis=-1)  # (M, Wg, Wg, 8)
-    val8 = jnp.stack([c000, c001, c010, c011, c100, c101, c110, c111], axis=-1)
+    # Separable trilinear accumulation on the MXU: contribution to
+    # (r, c, o) = m * u_r(r) * u_c(c) * u_o(o) with u_r = {1-rfr at r1,
+    # rfr at r1+1} etc. hist[m, rc, o] = sum_s V[m,s,rc] * U_o[m,s,o]
+    # — a batched matmul contracting the samples axis, replacing the
+    # reference's 8-way scatter (lib.rs:940-947). TPU scatter-add would be
+    # ~100x slower; the product form differs from the reference's
+    # subtract-chain (c0 = m - m*rfr vs m*(1-rfr)) by <=1 ULP per sample.
+    S_w = (2 * R_DESC_MAX + 1) ** 2
+    mf = m.reshape(M, S_w)
+    rfr_ = rfr.reshape(M, S_w)
+    cfr_ = cfr.reshape(M, S_w)
+    ofr_ = ofr.reshape(M, S_w)
+    r1_ = r1.reshape(M, S_w)
+    c1_ = c1i.reshape(M, S_w)
+    of_ = of.reshape(M, S_w)
+    of1_ = of1.reshape(M, S_w)
 
-    midx = jnp.broadcast_to(jnp.arange(M)[:, None, None, None], idx8.shape)
-    hist = jnp.zeros((M, side * side * n_bins), F32).at[
-        midx.ravel(), idx8.ravel()].add(val8.ravel())
+    rows = jnp.arange(side, dtype=jnp.int32)
+    cols = jnp.arange(side, dtype=jnp.int32)
+    obins = jnp.arange(n_bins, dtype=jnp.int32)
+    # U_r (M,S,side), U_c (M,S,side), U_o (M,S,n_bins)
+    u_r = (jnp.where(rows == r1_[..., None], (F32(1.0) - rfr_)[..., None], F32(0.0))
+           + jnp.where(rows == r1_[..., None] + 1, rfr_[..., None], F32(0.0)))
+    u_c = (jnp.where(cols == c1_[..., None], (F32(1.0) - cfr_)[..., None], F32(0.0))
+           + jnp.where(cols == c1_[..., None] + 1, cfr_[..., None], F32(0.0)))
+    u_o = (jnp.where(obins == of_[..., None], mf[..., None] * (F32(1.0) - ofr_)[..., None], F32(0.0))
+           + jnp.where(obins == of1_[..., None], mf[..., None] * ofr_[..., None], F32(0.0)))
+    v_rc = (u_r[:, :, :, None] * u_c[:, :, None, :]).reshape(M, S_w, side * side)
+    hist = jax.lax.dot_general(
+        v_rc, u_o, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (M, side*side, n_bins)
     hist = hist.reshape(M, side, side, n_bins)[:, 1:-1, 1:-1, :].reshape(M, -1)
 
     return finalize_descriptor(hist, cfg)
@@ -164,7 +169,7 @@ def descriptor_batch(gauss_padded: jnp.ndarray, h: int, w: int,
 def descriptor_batch_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
                              scale_idx, x_oct, y_oct, kp_scale, angle, valid,
                              cfg: SiftConfig = DEFAULT_CONFIG,
-                             block: int = 128) -> jnp.ndarray:
+                             block: int = 32) -> jnp.ndarray:
     """Block-mapped descriptor_batch: bounds the (M, 81, 81, 8) gather/scatter
     working set to `block` keypoints at a time via lax.map (compiled once)."""
     M = scale_idx.shape[0]

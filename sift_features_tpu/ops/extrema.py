@@ -6,10 +6,11 @@ extremum_is_on_edge (lib.rs:628-653).
 
 TPU design (SURVEY.md §7): the scalar scan becomes a dense 26-neighbor
 compare over the whole DoG stack (VPU, embarrassingly parallel); the
-data-dependent candidate list becomes a fixed-capacity index buffer from
-`jnp.nonzero(size=K)` (row-major order == the reference's scan order); the
-Newton loop becomes 5 unrolled masked vector steps over the candidate batch
-with cube gathers. Quirks replicated: the prefilter threshold floors to 0.0
+data-dependent candidate list becomes a fixed-capacity index buffer via an
+O(N) cumsum-scatter compaction (row-major order == the reference's scan
+order); the Newton solve + contrast/edge tests are computed DENSELY at every
+pixel on the VPU, so the 5-step refinement loop is just one (K,) gather per
+iteration — no per-candidate neighborhood gathers at all. Quirks replicated: the prefilter threshold floors to 0.0
 (lib.rs:460), ties allowed in the neighbor compares, edge test at the
 refined integer coords, round-half-away re-centering.
 """
@@ -98,32 +99,41 @@ def find_candidates(mask: jnp.ndarray, k_max: int):
     return s, y, x, valid, count
 
 
-def _gather_cube(dog: jnp.ndarray, s, y, x) -> jnp.ndarray:
-    """Gather the 3x3x3 neighborhood for each candidate: (K, 3, 3, 3)."""
+def _dense_cube_fields(dog: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG):
+    """Dense per-pixel equivalents of the cube reads: returns a dict of
+    (S_in, H, W) arrays (S_in = scales_per_octave slices 1..S-2) holding the
+    Newton offsets, interval-ok flag, interpolated contrast, and edge-test
+    keep flag AT EVERY PIXEL. All elementwise (VPU) — this replaces per-
+    candidate cube gathers entirely: the refinement loop then only gathers
+    from these dense maps at its current integer position.
+
+    Border pixels (outermost ring, and s slices 0/S-1) produce garbage; the
+    candidate scan range (IMAGE_BORDER=5) never reads them.
+    """
     S, H, W = dog.shape
-    flat = dog.ravel()
-    ds = jnp.arange(-1, 2)
-    base = (s[:, None, None, None] + ds[None, :, None, None]) * (H * W) \
-        + (y[:, None, None, None] + ds[None, None, :, None]) * W \
-        + (x[:, None, None, None] + ds[None, None, None, :])
-    return flat[base]
-
-
-def _offsets_from_cube(c: jnp.ndarray):
-    """Gradient/Hessian solve on a (K,3,3,3) cube (lib.rs:540-569).
-    Returns (off_s, off_y, off_x) f32 per candidate; NaN where det == 0."""
     two = F32(2.0)
     four = F32(4.0)
-    g1 = (c[:, 2, 1, 1] - c[:, 0, 1, 1]) / two
-    g2 = (c[:, 1, 2, 1] - c[:, 1, 0, 1]) / two
-    g3 = (c[:, 1, 1, 2] - c[:, 1, 1, 0]) / two
-    v2 = c[:, 1, 1, 1] * two
-    h11 = c[:, 2, 1, 1] + c[:, 0, 1, 1] - v2
-    h12 = (c[:, 2, 2, 1] - c[:, 2, 0, 1] - c[:, 0, 2, 1] + c[:, 0, 0, 1]) / four
-    h13 = (c[:, 2, 1, 2] - c[:, 2, 1, 0] - c[:, 0, 1, 2] + c[:, 0, 1, 0]) / four
-    h22 = c[:, 1, 2, 1] + c[:, 1, 0, 1] - v2
-    h33 = c[:, 1, 1, 2] + c[:, 1, 1, 0] - v2
-    h23 = (c[:, 1, 2, 2] - c[:, 1, 2, 0] - c[:, 1, 0, 2] + c[:, 1, 0, 0]) / four
+
+    def sh(a, dy, dx):
+        # neighbor value at (y+dy, x+dx), edge-padded (never read at borders)
+        p = jnp.pad(a, [(0, 0), (1, 1), (1, 1)], mode="edge")
+        return p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+    c = dog[1:S - 1]   # current scale s, for s in 1..S-2
+    p = dog[0:S - 2]   # s-1
+    n = dog[2:S]       # s+1
+
+    g1 = (n - p) / two
+    g2 = (sh(c, 1, 0) - sh(c, -1, 0)) / two
+    g3 = (sh(c, 0, 1) - sh(c, 0, -1)) / two
+    v2 = c * two
+    h11 = n + p - v2
+    h12 = (sh(n, 1, 0) - sh(n, -1, 0) - sh(p, 1, 0) + sh(p, -1, 0)) / four
+    h13 = (sh(n, 0, 1) - sh(n, 0, -1) - sh(p, 0, 1) + sh(p, 0, -1)) / four
+    h22 = sh(c, 1, 0) + sh(c, -1, 0) - v2
+    h33 = sh(c, 0, 1) + sh(c, 0, -1) - v2
+    h23 = (sh(c, 1, 1) - sh(c, 1, -1) - sh(c, -1, 1) + sh(c, -1, -1)) / four
+
     det = (h11 * h22 * h33 - h11 * h23 * h23 - h12 * h12 * h33
            + two * h12 * h13 * h23 - h13 * h13 * h22)
     hinv11 = (h22 * h33 - h23 * h23) / det
@@ -135,89 +145,88 @@ def _offsets_from_cube(c: jnp.ndarray):
     off_s = -(hinv11 * g1 + hinv12 * g2 + hinv13 * g3)
     off_x = -(hinv13 * g1 + hinv23 * g2 + hinv33 * g3)
     off_y = -(hinv12 * g1 + hinv22 * g2 + hinv23 * g3)
-    return off_s, off_y, off_x, (g1, g2, g3)
+    ok = (jnp.abs(off_s) < 0.5) & (jnp.abs(off_x) < 0.5) & (jnp.abs(off_y) < 0.5)
+    off_s = jnp.where(jnp.isnan(off_s), F32(0), off_s)
+    off_y = jnp.where(jnp.isnan(off_y), F32(0), off_y)
+    off_x = jnp.where(jnp.isnan(off_x), F32(0), off_x)
+
+    # contrast at the converged pixel (lib.rs:605-626)
+    interp = off_s * g1 + off_y * g2 + off_x * g3
+    contrast = c + interp / two
+    keep_contrast = (jnp.abs(contrast) * F32(cfg.scales_per_octave)
+                     > F32(cfg.contrast_threshold))
+
+    # edge test at the integer pixel (lib.rs:628-653)
+    eh11 = sh(c, 1, 0) + sh(c, -1, 0) - v2
+    ed22 = sh(c, 0, 1) + sh(c, 0, -1) - v2
+    eh12 = (sh(c, 1, 1) - sh(c, 1, -1) - sh(c, -1, 1) + sh(c, -1, -1)) / four
+    tr = ed22 + eh11
+    edet = ed22 * eh11 - eh12 * eh12
+    thr = F32(cfg.edge_threshold)
+    on_edge = (edet <= 0.0) | ((tr * tr * thr) > (thr + F32(1.0)) ** 2 * edet)
+
+    # steps for non-converged pixels (round-half-away, int32)
+    big = F32(1e9)
+    step_x = jnp.clip(rust_round(off_x), -big, big).astype(jnp.int32)
+    step_y = jnp.clip(rust_round(off_y), -big, big).astype(jnp.int32)
+    step_s = jnp.clip(rust_round(off_s), -big, big).astype(jnp.int32)
+
+    return {
+        "off_s": off_s, "off_y": off_y, "off_x": off_x, "ok": ok,
+        "response": jnp.abs(contrast),
+        "keep": keep_contrast & ~on_edge,
+        "step_s": step_s, "step_y": step_y, "step_x": step_x,
+    }
 
 
 def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG):
-    """Batched Newton refinement, <=5 masked steps (lib.rs:525-603).
+    """Batched Newton refinement, <=5 masked steps (lib.rs:525-603), plus the
+    contrast/edge rejection (lib.rs:605-653) — all reads come from the dense
+    per-pixel field maps (_dense_cube_fields), so each iteration is a single
+    (K,) gather instead of per-candidate cube gathers.
 
     dog: (S+2, H, W). Returns dict of per-candidate arrays: ok, s, y, x
-    (refined integer coords), off_s/off_y/off_x (converged offsets).
+    (refined integer coords), off_s/off_y/off_x (converged offsets),
+    response (|interpolated contrast|), keep (passed contrast+edge tests).
     """
     S, H, W = dog.shape
+    HW = H * W
     border = cfg.image_border
+    dense = _dense_cube_fields(dog, cfg)
+    ok_f = dense["ok"].ravel()
+    sts_f = dense["step_s"].ravel()
+    sty_f = dense["step_y"].ravel()
+    stx_f = dense["step_x"].ravel()
+
     s, y, x = s0, y0, x0
     K = s.shape[0]
-    off_s = jnp.zeros(K, F32)
-    off_y = jnp.zeros(K, F32)
-    off_x = jnp.zeros(K, F32)
     converged = jnp.zeros(K, bool)
     dead = ~valid
+    nmax = cfg.scales_per_octave * HW - 1
+
+    def lin_of(s_, y_, x_):
+        return jnp.clip((s_ - 1) * HW + y_ * W + x_, 0, nmax)
 
     for _ in range(cfg.max_interpolation_steps):
         active = ~(converged | dead)
-        # clamp coords for safe gathers; dead/converged lanes ignore results
-        sc = jnp.clip(s, 1, S - 2)
-        yc = jnp.clip(y, 1, H - 2)
-        xc = jnp.clip(x, 1, W - 2)
-        cube = _gather_cube(dog, sc, yc, xc)
-        osc, oy, ox, _ = _offsets_from_cube(cube)
-        ok = (jnp.abs(osc) < 0.5) & (jnp.abs(ox) < 0.5) & (jnp.abs(oy) < 0.5)
-        # NaN offsets (singular Hessian): not ok; step 0 (matches Rust's
-        # NaN as-cast -> 0), burns iterations in place.
-        osc0 = jnp.where(jnp.isnan(osc), F32(0), osc)
-        oy0 = jnp.where(jnp.isnan(oy), F32(0), oy)
-        ox0 = jnp.where(jnp.isnan(ox), F32(0), ox)
-
-        newly = active & ok
-        converged |= newly
-        off_s = jnp.where(newly, osc0, off_s)
-        off_y = jnp.where(newly, oy0, off_y)
-        off_x = jnp.where(newly, ox0, off_x)
-
-        step = active & ~ok
-        # inf offsets -> huge step -> dead via bounds check (int32-safe clip)
-        big = F32(1e9)
-        nx = x + jnp.clip(rust_round(ox0), -big, big).astype(jnp.int32)
-        ny = y + jnp.clip(rust_round(oy0), -big, big).astype(jnp.int32)
-        ns = s + jnp.clip(rust_round(osc0), -big, big).astype(jnp.int32)
-        x = jnp.where(step, nx, x)
-        y = jnp.where(step, ny, y)
-        s = jnp.where(step, ns, s)
+        lin = lin_of(s, y, x)
+        ok_here = ok_f[lin]
+        converged |= active & ok_here
+        step = active & ~ok_here
+        x = jnp.where(step, x + stx_f[lin], x)
+        y = jnp.where(step, y + sty_f[lin], y)
+        s = jnp.where(step, s + sts_f[lin], s)
         bad = ((s < 1) | (s > cfg.scales_per_octave)
                | (x < border) | (x >= W - border)
                | (y < border) | (y >= H - border))
         dead |= step & bad
 
-    return {"ok": converged, "s": s, "y": y, "x": x,
-            "off_s": off_s, "off_y": off_y, "off_x": off_x}
-
-
-def contrast_and_edge(dog: jnp.ndarray, s, y, x, off_s, off_y, off_x,
-                      cfg: SiftConfig = DEFAULT_CONFIG):
-    """Interpolated response + edge rejection at the refined integer point
-    (lib.rs:605-653). Returns (response=|contrast|, keep mask)."""
-    S, H, W = dog.shape
-    sc = jnp.clip(s, 1, S - 2)
-    yc = jnp.clip(y, 1, H - 2)
-    xc = jnp.clip(x, 1, W - 2)
-    cube = _gather_cube(dog, sc, yc, xc)
-    two = F32(2.0)
-    four = F32(4.0)
-    g1 = (cube[:, 2, 1, 1] - cube[:, 0, 1, 1]) / two
-    g2 = (cube[:, 1, 2, 1] - cube[:, 1, 0, 1]) / two
-    g3 = (cube[:, 1, 1, 2] - cube[:, 1, 1, 0]) / two
-    interp = off_s * g1 + off_y * g2 + off_x * g3
-    contrast = cube[:, 1, 1, 1] + interp / two
-    keep = jnp.abs(contrast) * F32(cfg.scales_per_octave) > F32(cfg.contrast_threshold)
-
-    v2 = cube[:, 1, 1, 1] * two
-    h11 = cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - v2
-    d22 = cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - v2
-    h12 = (cube[:, 1, 2, 2] - cube[:, 1, 2, 0] - cube[:, 1, 0, 2] + cube[:, 1, 0, 0]) / four
-    tr = d22 + h11
-    det = d22 * h11 - h12 * h12
-    thr = F32(cfg.edge_threshold)
-    on_edge = (det <= 0.0) | ((tr * tr * thr) > (thr + F32(1.0)) ** 2 * det)
-    keep &= ~on_edge
-    return jnp.abs(contrast), keep
+    lin = lin_of(s, y, x)
+    return {
+        "ok": converged, "s": s, "y": y, "x": x,
+        "off_s": dense["off_s"].ravel()[lin],
+        "off_y": dense["off_y"].ravel()[lin],
+        "off_x": dense["off_x"].ravel()[lin],
+        "response": dense["response"].ravel()[lin],
+        "keep": dense["keep"].ravel()[lin] & converged,
+    }

@@ -101,8 +101,14 @@ def orientation_histograms(gauss_padded: jnp.ndarray, h: int, w: int,
     b = jnp.where(b < 0, b + n_bins, b)
 
     contrib = jnp.where(ok, weights * mags, F32(0.0))
-    cand_idx = jnp.broadcast_to(jnp.arange(K)[:, None, None], b.shape)
-    raw = jnp.zeros((K, n_bins), F32).at[cand_idx.ravel(), b.ravel()].add(contrib.ravel())
+    # histogram via per-bin masked sums (VPU reductions) — TPU scatter-add is
+    # orders of magnitude slower; accumulation order differs from the
+    # reference's scalar scan only at the last-ULP level
+    cflat = contrib.reshape(K, -1)
+    bflat = b.reshape(K, -1)
+    raw = jnp.stack(
+        [jnp.sum(jnp.where(bflat == i, cflat, F32(0.0)), axis=1)
+         for i in range(n_bins)], axis=1)
 
     # circular [1,4,6,4,1]/16 smoothing, applied once (lib.rs:737-756)
     rm2 = jnp.roll(raw, 2, axis=1)
