@@ -1,0 +1,92 @@
+"""Headline benchmark: 1080p extract + match, frames/s per chip.
+
+Runs the full TPU pipeline (seed -> pyramid -> detect -> orient -> describe)
+on a batch of 1920x1080 gray frames plus brute-force cross-check matching of
+consecutive frames' top descriptors (the serving workload; BASELINE.md
+target: >= 500 frames/s/chip). Prints ONE JSON line.
+
+Input frames are built from the reference repo's real images (tiled to
+1080p) so keypoint density is realistic; falls back to synthetic texture if
+the reference images are unavailable.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_frames(b: int, h: int = 1080, w: int = 1920) -> np.ndarray:
+    path = "/root/reference/images/tree.jpg"
+    if os.path.exists(path):
+        from sift_features_tpu.io.image import load_gray
+
+        base = load_gray(path, "cv2")
+    else:
+        rng = np.random.RandomState(0)
+        base = (rng.rand(600, 800) * 255).astype(np.uint8)
+    ty = -(-h // base.shape[0])
+    tx = -(-w // base.shape[1])
+    tiled = np.tile(base, (ty, tx))[:h, :w]
+    return np.stack([np.roll(tiled, 7 * i, axis=1) for i in range(b)])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import extract_batch
+    from sift_features_tpu.ops.matcher import _match_jit
+
+    platform = jax.devices()[0].platform
+    b = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    n_match = 1024
+    if platform == "cpu":  # no TPU available: keep the run short
+        b, iters = 1, 2
+
+    frames = make_frames(b)
+    cfg = DEFAULT_CONFIG
+
+    def step(imgs):
+        res = extract_batch(imgs, cfg)
+        resp = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
+        _, top = jax.lax.top_k(resp, n_match)
+        desc = jnp.take_along_axis(res["desc"], top[..., None], axis=1)
+        # match consecutive frames (i -> i+1 mod B): queries frame i,
+        # train frame i+1
+        d = desc.astype(jnp.float32)
+        bt, dist, keep = jax.vmap(
+            lambda dt, dq: _match_jit(dt, dq, True))(jnp.roll(d, -1, axis=0), d)
+        return res["kps"], res["desc"], res["valid"], bt, dist, keep
+
+    imgs = jnp.asarray(frames)
+    out = step(imgs)  # compile + warmup (extract_batch jits internally)
+    jax.block_until_ready(out)
+    out = step(imgs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(imgs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = b * iters / dt
+    n_kp = int(np.asarray(out[2]).sum()) // b
+    print(json.dumps({
+        "metric": "1080p_extract_match_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 4),
+        "platform": platform,
+        "batch": b,
+        "kps_per_frame": n_kp,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

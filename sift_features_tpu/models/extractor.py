@@ -159,6 +159,49 @@ def extract_batch(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):
     return _extract_batch_jit(imgs_u8, n_oct, config)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _precompute_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
+    seed = pyr_ops.create_seed_image(imgs_u8, cfg)
+    octaves = pyr_ops.build_scale_space(seed, n_octaves, cfg)
+    dogs = pyr_ops.build_dog(octaves)
+    return octaves, dogs
+
+
+def precompute(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):
+    """Pyramid-only stage (reference precompute_images, lib.rs:131-146):
+    (B, H, W) u8 -> (gaussian octaves, DoG octaves), each a list of
+    (B, S+3/S+2, H_o, W_o) f32 arrays. Separately jitted so pyramid cost can
+    be benchmarked apart from detection (benches/sift.rs:115-121 analog)."""
+    imgs_u8 = jnp.asarray(imgs_u8, jnp.uint8)
+    h, w = imgs_u8.shape[-2], imgs_u8.shape[-1]
+    n_oct = config.n_octaves(h * config.inv_delta_min, w * config.inv_delta_min)
+    return _precompute_jit(imgs_u8, n_oct, config)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _detect_describe_jit(octaves, dogs, cfg: SiftConfig):
+    def one_frame(octs, ds):
+        out = [_detect_octave(g, d, o, cfg)
+               for o, (g, d) in enumerate(zip(octs, ds))]
+        return {
+            "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
+            "desc": jnp.concatenate([r["desc"] for r in out], axis=0),
+            "valid": jnp.concatenate([r["valid"] for r in out], axis=0),
+            "n_candidates": jnp.stack([r["n_candidates"] for r in out]),
+            "n_survivors": jnp.stack([r["n_survivors"] for r in out]),
+            "n_emitted": jnp.stack([r["n_emitted"] for r in out]),
+        }
+
+    return jax.vmap(one_frame)(octaves, dogs)
+
+
+def extract_with_precomputed(octaves, dogs, config: SiftConfig = DEFAULT_CONFIG):
+    """Detection + description on a precomputed pyramid (reference
+    sift_with_precomputed, lib.rs:147-177). Same padded result pytree as
+    extract_batch."""
+    return _detect_describe_jit(octaves, dogs, config)
+
+
 def extract(img_u8, features_limit: int | None = None,
             config: SiftConfig = DEFAULT_CONFIG):
     """Single-image extraction matching the reference's sift() (lib.rs:71-81).

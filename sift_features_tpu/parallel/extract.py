@@ -1,0 +1,127 @@
+"""Data-parallel (frames) sharded extraction.
+
+The primary throughput axis (SURVEY.md §2.3): a batch of frames is sharded
+over the mesh's `data` axis and each device runs the full single-frame
+pipeline on its shard. Extraction is embarrassingly parallel per frame — no
+collectives — so this is a `shard_map` around the same vmapped pipeline the
+single-chip path uses (models.extractor), guaranteeing XLA partitions it with
+zero cross-device traffic.
+
+Optionally the rows of every frame are ALSO sharded over the `space` axis
+(latency mode for large frames): the pyramid's vertical blurs then use
+halo-exchange (parallel.halo) and detection runs on the row-gathered stacks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, SiftConfig
+from ..models.extractor import _extract_single
+from ..ops import pyramid as pyr_ops
+from ..ops.gaussian import cv_ksize
+from ..ops.resize import resize_nearest_half
+from .halo import gaussian_blur_sharded
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _extract_dp_jit(imgs: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
+                    mesh: Mesh):
+    def shard_body(im_shard):
+        return jax.vmap(lambda im: _extract_single(im, n_octaves, cfg))(im_shard)
+
+    return jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=P("data"))(imgs)
+
+
+def extract_batch_dp(imgs_u8, mesh: Mesh, config: SiftConfig = DEFAULT_CONFIG):
+    """(B, H, W) u8, B divisible by mesh 'data' size -> padded result pytree,
+    identical to models.extractor.extract_batch but sharded over frames."""
+    imgs_u8 = jnp.asarray(imgs_u8, jnp.uint8)
+    h, w = imgs_u8.shape[-2], imgs_u8.shape[-1]
+    n_d = mesh.shape["data"]
+    if imgs_u8.shape[0] % n_d:
+        raise ValueError(f"batch {imgs_u8.shape[0]} not divisible by data={n_d}")
+    n_oct = config.n_octaves(h * config.inv_delta_min, w * config.inv_delta_min)
+    return _extract_dp_jit(imgs_u8, n_oct, config, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded pyramid (data x space): vertical blurs halo-exchange over
+# the space axis; detection runs on row-gathered octaves.
+# ---------------------------------------------------------------------------
+
+def _build_octaves_spatial(seed_rows: jnp.ndarray, n_octaves: int,
+                           cfg: SiftConfig, n_space: int, h_seed: int):
+    """seed_rows: (h_seed/n_space, W) local row shard of one frame's seed.
+    Returns list of FULL (S+3, H_o, W_o) Gaussian stacks (row-gathered), built
+    with halo-exchange blurs while shard heights stay >= kernel radius."""
+    sigmas = cfg.octave_sigmas()
+    octaves = []
+    cur = seed_rows
+    h = h_seed
+    for _ in range(n_octaves):
+        h_loc = h // n_space
+        sharded = (h % n_space == 0
+                   and all(h_loc >= cv_ksize(s) // 2 for s in sigmas[1:])
+                   and h_loc >= 2)
+        if sharded:
+            if cur.shape[-2] == h:  # previous octave computed replicated
+                idx = jax.lax.axis_index("space")
+                cur = jax.lax.dynamic_slice(cur, (idx * h_loc, jnp.int32(0)),
+                                            (h_loc, cur.shape[-1]))
+            imgs = [cur]
+            for sig in sigmas[1:]:
+                imgs.append(gaussian_blur_sharded(imgs[-1], sig, "space", n_space))
+            stack_loc = jnp.stack(imgs, axis=0)          # (S+3, h_loc, W)
+            full = jax.lax.all_gather(stack_loc, "space", axis=1, tiled=True)
+            cur = resize_nearest_half(imgs[len(imgs) - 3])
+        else:
+            # tiny top octaves: replicated compute (cur is full rows already
+            # or gathered below)
+            if cur.shape[-2] != h:
+                cur = jax.lax.all_gather(cur, "space", axis=0, tiled=True)
+            from ..ops.gaussian import gaussian_blur
+
+            imgs = [cur]
+            for sig in sigmas[1:]:
+                imgs.append(gaussian_blur(imgs[-1], sig))
+            full = jnp.stack(imgs, axis=0)
+            cur = resize_nearest_half(imgs[len(imgs) - 3])
+        octaves.append(full)
+        h = h // 2
+    return octaves
+
+
+def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
+                            cfg: SiftConfig, n_space: int):
+    """Single-frame pipeline with the pyramid row-sharded over 'space'.
+    Runs inside shard_map; detection/description run replicated per space
+    member on the gathered stacks (outputs are space-invariant)."""
+    from ..models.extractor import _detect_octave
+
+    seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]   # replicated
+    h_seed, w_seed = seed.shape
+    h_loc = h_seed // n_space
+    idx = jax.lax.axis_index("space")
+    seed_rows = jax.lax.dynamic_slice(seed, (idx * h_loc, jnp.int32(0)),
+                                      (h_loc, w_seed))
+    octs = _build_octaves_spatial(seed_rows, n_octaves, cfg, n_space, h_seed)
+    out = []
+    for o, gauss in enumerate(octs):
+        dog = gauss[1:] - gauss[:-1]
+        out.append(_detect_octave(gauss, dog, o, cfg))
+    return {
+        "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
+        "desc": jnp.concatenate([r["desc"] for r in out], axis=0),
+        "valid": jnp.concatenate([r["valid"] for r in out], axis=0),
+        "n_candidates": jnp.stack([r["n_candidates"] for r in out]),
+        "n_survivors": jnp.stack([r["n_survivors"] for r in out]),
+        "n_emitted": jnp.stack([r["n_emitted"] for r in out]),
+    }

@@ -1,0 +1,97 @@
+"""The flagship multi-chip step: sharded extract + ring match, one jit.
+
+This is the framework's 'training step' analog (the reference is a pure
+function library — extraction+matching IS the serving workload): a frame
+batch sharded (data=frames, space=rows) is pushed through the full SIFT
+pipeline, and every frame's descriptors are matched against the whole batch's
+descriptor database with the ring matcher (loop-closure / retrieval pattern).
+All collectives (halo ppermute, row all_gather, ring ppermute, cross-check
+all_gather) are XLA-compiled over the mesh — SURVEY.md §5.8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, SiftConfig
+from ..models.extractor import _extract_single
+from .extract import _extract_single_spatial
+from .ring import _ring_body
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
+                       mesh: Mesh, queries_per_frame: int = 128):
+    """imgs_u8: (B, H, W) u8, B divisible by mesh data size.
+
+    Returns pytree with per-frame keypoints/descriptors/valid plus, for the
+    top `queries_per_frame` keypoints of every frame, the best cross-checked
+    match (frame, keypoint, distance) in the batch database (self-matches of
+    the same frame are masked out).
+    """
+    imgs_u8 = imgs_u8.astype(jnp.uint8)
+    B = imgs_u8.shape[0]
+    n_space = mesh.shape["space"]
+
+    def extract_body(im_shard):
+        def one(im):
+            if n_space > 1:
+                return _extract_single_spatial(im, n_octaves, cfg, n_space)
+            return _extract_single(im, n_octaves, cfg)
+
+        return jax.vmap(one)(im_shard)
+
+    # check_vma=False: the spatial path's detection outputs ARE replicated
+    # over 'space' (they're computed from row-all_gathered stacks), but the
+    # axis_index-based row slicing defeats static replication inference.
+    res = jax.shard_map(
+        extract_body, mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=P("data"), check_vma=(n_space == 1))(imgs_u8)
+
+    # Build the query set: top-K keypoints per frame by response (fixed K for
+    # static shapes; invalid lanes have response 0 and are masked).
+    resp = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
+    K = queries_per_frame
+    top_val, top_idx = jax.lax.top_k(resp, K)                      # (B, K)
+    q_desc = jnp.take_along_axis(res["desc"], top_idx[..., None],
+                                 axis=1).astype(jnp.float32)       # (B, K, 128)
+    q_valid = jnp.isfinite(top_val)
+
+    # Database: every valid descriptor of the batch, frame-major.
+    N = res["desc"].shape[1]
+    t_desc = res["desc"].astype(jnp.float32)                       # (B, N, 128)
+    t_valid = res["valid"]
+    # Self-frame exclusion: frame-id tags ride the ring; same-tag pairs get
+    # +inf distance inside the running-min updates (ring._ring_body).
+    q_flat = q_desc.reshape(B * K, -1)
+    qv_flat = q_valid.reshape(B * K)
+    t_flat = t_desc.reshape(B * N, -1)
+    tv_flat = t_valid.reshape(B * N)
+    q_frame = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    t_frame = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+
+    n_d = mesh.shape["data"]
+    t_blk = (B * N) // n_d
+
+    def match_body(q, qv, qf, t, tv, tf):
+        return _ring_body(q, qv, t, tv, "data", n_d, t_blk,
+                          q_tag=qf, t_tag=tf)
+
+    bt, bd, keep = jax.shard_map(
+        match_body, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data"),
+                  P("data", None), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")))(
+        q_flat, qv_flat, q_frame, t_flat, tv_flat, t_frame)
+
+    return {
+        "kps": res["kps"], "desc": res["desc"], "valid": res["valid"],
+        "n_candidates": res["n_candidates"], "n_emitted": res["n_emitted"],
+        "match_train": bt.reshape(B, K), "match_dist": bd.reshape(B, K),
+        "match_keep": keep.reshape(B, K), "query_idx": top_idx,
+    }

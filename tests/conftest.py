@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU backend and forces
+# jax_platforms="axon,cpu"; tests must run on the virtual 8-device CPU mesh,
+# so re-force cpu AFTER the jax import (env vars alone are overridden).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402

@@ -1,0 +1,35 @@
+"""Aux subsystems: metrics, descriptor DB persistence, determinism."""
+
+import numpy as np
+
+from sift_features_tpu.config import DEFAULT_CONFIG
+from sift_features_tpu.io.database import DescriptorDB
+from sift_features_tpu.models import extractor
+from sift_features_tpu.utils.profiling import extraction_metrics
+
+
+def test_metrics_and_db(bird_small_cv2, tmp_path):
+    img = bird_small_cv2[:96, :128]
+    res = extractor.extract_batch(img[None])
+    m = extraction_metrics(res, image_hw=img.shape, cfg=DEFAULT_CONFIG)
+    assert m["frames"] == 1
+    assert m["keypoints_per_frame"][0] > 0
+    assert not any(m["capacity_overflow_per_octave"])
+
+    db = DescriptorDB.from_batch(res)
+    k0, d0 = db.frame(0)
+    assert len(k0) == m["keypoints_per_frame"][0]
+    db.save(str(tmp_path / "db.npz"))
+    db2 = DescriptorDB.load(str(tmp_path / "db.npz"))
+    np.testing.assert_array_equal(db2.descriptors, db.descriptors)
+
+    # sharded roundtrip over 3 shards with 2 frames: uneven split
+    res2 = extractor.extract_batch(np.stack([img, img[::-1, ::-1].copy()]))
+    db3 = DescriptorDB.from_batch(res2)
+    db3.save_sharded(str(tmp_path / "shards"), 2)
+    back = DescriptorDB.load_all(str(tmp_path / "shards"))
+    np.testing.assert_array_equal(back.descriptors, db3.descriptors)
+    np.testing.assert_array_equal(back.offsets, db3.offsets)
+    k1a, _ = db3.frame(1)
+    k1b, _ = back.frame(1)
+    np.testing.assert_array_equal(k1a, k1b)

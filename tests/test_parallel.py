@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): data-parallel extraction equals the
+single-chip path, halo-exchange blur is bit-identical to the unsharded blur,
+ring matcher equals the dense matcher, and the full extract+match step runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sift_features_tpu.models import extractor
+from sift_features_tpu.ops.gaussian import gaussian_blur, gaussian_kernel
+from sift_features_tpu.ops.matcher import match_brute_force
+from sift_features_tpu.parallel import (extract_batch_dp, extract_match_step,
+                                        make_mesh, ring_match)
+from sift_features_tpu.parallel.halo import gaussian_blur_sharded
+
+
+def _imgs(bird_small_cv2, b=4, h=96, w=128):
+    img = bird_small_cv2[:h, :w]
+    rng = np.random.RandomState(0)
+    out = [img]
+    for _ in range(b - 1):
+        out.append(np.roll(img, rng.randint(1, 20), axis=1))
+    return np.stack(out)
+
+
+def test_halo_blur_matches_unsharded():
+    mesh = make_mesh(n_data=1, n_space=4)
+    rng = np.random.RandomState(1)
+    x = rng.rand(64, 40).astype(np.float32)
+    sigma = 2.0
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(xs):
+        return gaussian_blur_sharded(xs, sigma, "space", 4)
+
+    y_sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("space", None),
+        out_specs=P("space", None)))(x)
+    y_ref = gaussian_blur(jnp.asarray(x), sigma)
+    # same tap order; XLA may fuse FMA differently across the two programs,
+    # so allow a couple of ULPs
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_ref),
+                               rtol=0, atol=3e-7)
+
+
+def test_halo_blur_radius_exceeds_shard():
+    with pytest.raises(AssertionError):
+        mesh = make_mesh(n_data=1, n_space=8)
+        from jax.sharding import PartitionSpec as P
+
+        x = np.ones((16, 16), np.float32)  # 2 rows/shard < radius
+        jax.jit(jax.shard_map(
+            lambda xs: gaussian_blur_sharded(xs, 4.0, "space", 8),
+            mesh=mesh, in_specs=P("space", None),
+            out_specs=P("space", None)))(x)
+
+
+def test_extract_dp_matches_single_chip(bird_small_cv2):
+    imgs = _imgs(bird_small_cv2, b=4)
+    mesh = make_mesh(n_data=4, n_space=1)
+    res_dp = extract_batch_dp(imgs, mesh)
+    res_1 = extractor.extract_batch(imgs)
+    assert np.array_equal(np.asarray(res_dp["valid"]), np.asarray(res_1["valid"]))
+    v = np.asarray(res_1["valid"])
+    np.testing.assert_array_equal(
+        np.asarray(res_dp["kps"])[v], np.asarray(res_1["kps"])[v])
+    np.testing.assert_array_equal(
+        np.asarray(res_dp["desc"])[v], np.asarray(res_1["desc"])[v])
+
+
+def test_ring_match_equals_dense():
+    rng = np.random.RandomState(2)
+    d1 = rng.randint(0, 256, (173, 128)).astype(np.uint8)
+    d2 = rng.randint(0, 256, (97, 128)).astype(np.uint8)
+    mesh = make_mesh(n_data=8, n_space=1)
+    qi, ti, dist = ring_match(d1, d2, mesh)
+    m = match_brute_force(d1, d2)
+    np.testing.assert_array_equal(qi, m.query_idx)
+    np.testing.assert_array_equal(ti, m.train_idx)
+    np.testing.assert_allclose(dist, m.distance, rtol=1e-6)
+
+
+def test_ring_match_no_crosscheck():
+    rng = np.random.RandomState(3)
+    d1 = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    d2 = rng.randint(0, 256, (40, 128)).astype(np.uint8)
+    mesh = make_mesh(n_data=4, n_space=1)
+    qi, ti, dist = ring_match(d1, d2, mesh, cross_check=False)
+    m = match_brute_force(d1, d2, cross_check=False)
+    np.testing.assert_array_equal(qi, m.query_idx)
+    np.testing.assert_array_equal(ti, m.train_idx)
+
+
+@pytest.mark.slow
+def test_extract_match_step_runs(bird_small_cv2):
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    imgs = _imgs(bird_small_cv2, b=4)
+    mesh = make_mesh(n_data=2, n_space=2)
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(imgs.shape[1] * 2, imgs.shape[2] * 2)
+    res = extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 64)
+    keep = np.asarray(res["match_keep"])
+    assert keep.any(), "rolled copies of the same image must cross-match"
+    # matched pairs should be the shifted keypoint (distance small for many)
+    assert np.asarray(res["valid"]).sum() > 0
