@@ -76,9 +76,9 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     gauss_padded = jnp.pad(gauss, ((0, 0),
                                    (desc_ops.PAD_DESC, desc_ops.PAD_DESC),
                                    (desc_ops.PAD_DESC, desc_ops.PAD_DESC)))
-    hist = ori_ops.orientation_histograms(
+    hist = ori_ops.orientation_histograms_blocked(
         gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
-        pad=desc_ops.PAD_DESC)
+        pad=desc_ops.PAD_DESC, count=n_surv)
     angles, emit = ori_ops.orientation_peaks(hist, cfg)
     emit &= svalid[:, None]
 
@@ -96,7 +96,8 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     kp_s = s[ci]
 
     descs = desc_ops.descriptor_batch_blocked(
-        gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid, cfg)
+        gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid, cfg,
+        count=n_emit)
 
     osf = F32(2.0 ** octave)
     dm = F32(cfg.delta_min)

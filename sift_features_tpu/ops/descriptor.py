@@ -169,9 +169,13 @@ def descriptor_batch(gauss_padded: jnp.ndarray, h: int, w: int,
 def descriptor_batch_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
                              scale_idx, x_oct, y_oct, kp_scale, angle, valid,
                              cfg: SiftConfig = DEFAULT_CONFIG,
-                             block: int = 32) -> jnp.ndarray:
+                             block: int = 32, count=None) -> jnp.ndarray:
     """Block-mapped descriptor_batch: bounds the (M, 81, 81, 8) gather/scatter
-    working set to `block` keypoints at a time via lax.map (compiled once)."""
+    working set to `block` keypoints at a time via lax.map (compiled once).
+
+    `count` (traced int32): number of leading valid lanes; blocks entirely
+    past it are SKIPPED at runtime (lax.cond), so cost scales with the
+    actual keypoint count, not the static capacity."""
     M = scale_idx.shape[0]
     if M <= block:
         return descriptor_batch(gauss_padded, h, w, scale_idx, x_oct, y_oct,
@@ -183,12 +187,21 @@ def descriptor_batch_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
         return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
                        constant_values=fill).reshape(nb, block, *a.shape[1:])
 
-    args = (padded(scale_idx), padded(x_oct), padded(y_oct),
-            padded(kp_scale), padded(angle), padded(valid))
+    args = (jnp.arange(nb, dtype=jnp.int32) * block,
+            (padded(scale_idx), padded(x_oct), padded(y_oct),
+             padded(kp_scale), padded(angle), padded(valid)))
 
-    def body(blk):
+    def compute(blk):
         si, xo, yo, ks, an, va = blk
         return descriptor_batch(gauss_padded, h, w, si, xo, yo, ks, an, va, cfg)
+
+    def body(arg):
+        start, blk = arg
+        if count is None:
+            return compute(blk)
+        return jax.lax.cond(
+            start < count, compute,
+            lambda _: jnp.zeros((block, cfg.descriptor_size), jnp.uint8), blk)
 
     out = jax.lax.map(body, args)
     return out.reshape(nb * block, -1)[:M]

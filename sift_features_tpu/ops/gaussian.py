@@ -58,6 +58,27 @@ def reflect101_indices(n: int, r: int) -> np.ndarray:
     return idx
 
 
+def _reflect101_pad(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
+    """Reflect-101 pad by r along axis. For r < n this is two reversed
+    slices + concatenate (fuses on TPU; a jnp.take gather does not); the
+    iterated-reflection case (r >= n, tiny top-octave images) falls back to
+    the precomputed index gather."""
+    n = x.shape[axis]
+    if r == 0:
+        return x
+    if r < n - 1:  # tail slice stop must stay >= 0
+        def sl(a, b, step=1):
+            s = [slice(None)] * x.ndim
+            s[axis] = slice(a, b, step)
+            return x[tuple(s)]
+
+        head = sl(r, 0, -1)          # rows r..1
+        tail = sl(n - 2, n - 2 - r, -1)  # rows n-2..n-1-r
+        return jnp.concatenate([head, x, tail], axis=axis)
+    idx = reflect101_indices(n, r)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
 def blur_1d(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     """Separable blur pass along `axis` with reflect-101 border.
 
@@ -65,8 +86,7 @@ def blur_1d(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     k = len(kernel)
     r = k // 2
     n = x.shape[axis]
-    idx = reflect101_indices(n, r)
-    xp = jnp.take(x, jnp.asarray(idx), axis=axis)
+    xp = _reflect101_pad(x, r, axis)
     out = None
     for i in range(k):
         sl = [slice(None)] * x.ndim

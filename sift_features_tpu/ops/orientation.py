@@ -121,6 +121,44 @@ def orientation_histograms(gauss_padded: jnp.ndarray, h: int, w: int,
     return hist
 
 
+def orientation_histograms_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
+                                   s, y, x, kp_scale, valid,
+                                   cfg: SiftConfig = DEFAULT_CONFIG,
+                                   pad: int = PAD_ORI, block: int = 256,
+                                   count=None):
+    """Block-mapped orientation_histograms with runtime skip of blocks past
+    `count` valid lanes (lax.cond) — cost scales with the actual candidate
+    count, not the static capacity."""
+    K = s.shape[0]
+    if K <= block:
+        return orientation_histograms(gauss_padded, h, w, s, y, x, kp_scale,
+                                      valid, cfg, pad=pad)
+    nb = -(-K // block)
+    padn = nb * block - K
+
+    def padded(a):
+        return jnp.pad(a, (0, padn)).reshape(nb, block)
+
+    args = (jnp.arange(nb, dtype=jnp.int32) * block,
+            (padded(s), padded(y), padded(x), padded(kp_scale), padded(valid)))
+
+    def compute(blk):
+        s_, y_, x_, ks, va = blk
+        return orientation_histograms(gauss_padded, h, w, s_, y_, x_, ks, va,
+                                      cfg, pad=pad)
+
+    def body(arg):
+        start, blk = arg
+        if count is None:
+            return compute(blk)
+        return jax.lax.cond(
+            start < count, compute,
+            lambda _: jnp.zeros((block, cfg.n_orientation_bins), F32), blk)
+
+    out = jax.lax.map(body, args)
+    return out.reshape(nb * block, -1)[:K]
+
+
 def orientation_peaks(hist: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG):
     """Per-candidate reference orientations (lib.rs:394-431).
 

@@ -23,15 +23,25 @@ def main():
     frames = jnp.asarray(make_frames(b))
     cfg = DEFAULT_CONFIG
 
+    def sync(out):
+        # block_until_ready lies on this backend (returns pre-completion);
+        # force a host transfer of a scalar derived from every output leaf.
+        leaves = jax.tree_util.tree_leaves(out)
+        s = sum(leaf.ravel()[0].astype(jnp.float32) for leaf in leaves)
+        return float(s)
+
     def timed(name, fn, *args, iters=8, **kw):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        sync(out)
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
+        s = None
         for _ in range(iters):
             out = fn(*args, **kw)
-        jax.block_until_ready(out)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(leaf.ravel()[0].astype(jnp.float32) for leaf in leaves)
+        float(s)  # in-order execution: last completion implies all done
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:>22s}: {dt * 1e3 / b:8.3f} ms/frame "
               f"({b / dt:7.1f} fps at B={b})")

@@ -1,0 +1,106 @@
+"""Mikolajczyk-style repeatability / matching-score benchmark on synthetic
+homography warps of the reference images (SURVEY.md §7 step 7 — no Oxford
+dataset in this environment, so warps are generated with cv2).
+
+For each (base, warped-by-H) pair:
+  repeatability  = fraction of base keypoints whose H-projection lands
+                   within eps px of a detected keypoint in the warp
+  matching score = fraction of cross-checked descriptor matches that are
+                   geometrically consistent with H
+
+Compares this framework against cv2.SIFT on identical pairs.
+Usage: python tools/repeatability.py [image] [eps_px]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def homographies(h, w):
+    import cv2
+
+    out = []
+    c = np.array([w / 2, h / 2])
+    for deg, scale, persp in [(10, 1.0, 0.0), (25, 0.9, 0.0),
+                              (0, 0.7, 0.0), (5, 1.1, 1e-4)]:
+        m = cv2.getRotationMatrix2D(tuple(c), deg, scale)
+        H = np.vstack([m, [0, 0, 1]]).astype(np.float64)
+        H[2, 0] = persp
+        out.append(H)
+    return out
+
+
+def project(H, pts):
+    p = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ H.T
+    return p[:, :2] / p[:, 2:3]
+
+
+def repeatability(k_base, k_warp, H, eps):
+    if not len(k_base) or not len(k_warp):
+        return 0.0
+    proj = project(H, k_base[:, :2])
+    d = np.sqrt(((proj[:, None, :] - k_warp[None, :, :2]) ** 2).sum(-1))
+    return float((d.min(axis=1) < eps).mean())
+
+
+def matching_score(k_base, d_base, k_warp, d_warp, H, eps, matcher):
+    m = matcher(d_base, d_warp)
+    if not len(m[0]):
+        return 0.0
+    qi, ti = m[0], m[1]
+    proj = project(H, k_base[ti][:, :2])
+    good = np.sqrt(((proj - k_warp[qi][:, :2]) ** 2).sum(-1)) < eps
+    return float(good.mean())
+
+
+def main():
+    import cv2
+
+    from sift_features_tpu.io.image import load_gray
+    import sift_features_tpu as sft
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/bird_small.jpg"
+    eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    img = load_gray(path, "cv2")
+    h, w = img.shape
+
+    def ours(im):
+        k, d = sft.sift(im)
+        return k, d  # (N,5), (N,128)
+
+    def cv_sift(im):
+        s = cv2.SIFT_create()
+        kk, dd = s.detectAndCompute(im, None)
+        arr = np.array([[k.pt[0], k.pt[1], k.size, k.angle, k.response]
+                        for k in kk], np.float32).reshape(-1, 5)
+        return arr, (dd if dd is not None else np.zeros((0, 128), np.float32))
+
+    def our_matcher(d1, d2):
+        m = sft.match_descriptors(d1, d2.astype(np.float32), cross_check=True)
+        return m.query_idx, m.train_idx
+
+    kb_o, db_o = ours(img)
+    kb_c, db_c = cv_sift(img)
+    print(f"image {path} {w}x{h}: ours {len(kb_o)} kps, cv2 {len(kb_c)} kps")
+    rows = []
+    for i, H in enumerate(homographies(h, w)):
+        warp = cv2.warpPerspective(img, H, (w, h))
+        kw_o, dw_o = ours(warp)
+        kw_c, dw_c = cv_sift(warp)
+        r_o = repeatability(kb_o, kw_o, H, eps)
+        r_c = repeatability(kb_c, kw_c, H, eps)
+        s_o = matching_score(kb_o, db_o, kw_o, dw_o, H, eps * 2, our_matcher)
+        s_c = matching_score(kb_c, db_c, kw_c, dw_c, H, eps * 2, our_matcher)
+        rows.append((r_o, r_c, s_o, s_c))
+        print(f"  warp {i}: repeat ours {r_o:.3f} cv2 {r_c:.3f} | "
+              f"match-score ours {s_o:.3f} cv2 {s_c:.3f}")
+    m = np.mean(rows, axis=0)
+    print(f"mean: repeat ours {m[0]:.3f} cv2 {m[1]:.3f} | "
+          f"match-score ours {m[2]:.3f} cv2 {m[3]:.3f}")
+
+
+if __name__ == "__main__":
+    main()
