@@ -49,6 +49,10 @@ class SiftConfig:
     max_keypoints_per_octave: int = 8192
     # Max total keypoints for the whole image (global output buffer).
     max_keypoints: int = 32768
+    # Use hand-written Pallas TPU kernels for the gather-heavy stages
+    # (orientation histograms, descriptors). Numerically equivalent to the
+    # XLA path at f32; ignored (falls back to XLA) on CPU.
+    use_pallas: bool = True
 
     @property
     def descriptor_size(self) -> int:

@@ -52,20 +52,41 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
     Returns dict of fixed-capacity (M,) keypoint fields + overflow counters.
     """
-    S, h, w = dog.shape
+    h, w = gauss.shape[-2], gauss.shape[-1]
     K, K2, M = _octave_capacities(h, w, cfg)
+    P = desc_ops.PAD_DESC
 
-    mask = ext_ops.extrema_mask(dog, cfg)
-    s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
-    ref = ext_ops.refine(dog, s0, y0, x0, valid, cfg)
+    gauss_padded = desc_ops.pad_stack_for_kernels(gauss)
+    # Pallas kernels need the padded plane to cover a 256-lane aligned DMA
+    use_pallas = (cfg.use_pallas and jax.devices()[0].platform == "tpu"
+                  and gauss_padded.shape[-1] >= 256)
+
+    if use_pallas:
+        # padded-coordinate detection: the DoG is formed from the padded
+        # stack (no unpadded copy is ever materialized) and refinement runs
+        # in the DMA'd Pallas kernel
+        dog_p = gauss_padded[1:] - gauss_padded[:-1]
+        b = cfg.image_border
+        mask = ext_ops.extrema_mask(
+            dog_p, cfg, bounds=(P + b, P + h - b, P + b, P + w - b))
+        s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
+        ref = ext_ops.refine_tpu(dog_p, s0, y0, x0, valid, P, h, w, cfg)
+        coord_off = P
+    else:
+        if dog is None:
+            dog = gauss[1:] - gauss[:-1]
+        mask = ext_ops.extrema_mask(dog, cfg)
+        s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
+        ref = ext_ops.refine(dog, s0, y0, x0, valid, cfg)
+        coord_off = 0
     response = ref["response"]
     keep = ref["keep"] & valid
 
     # survivor compaction
     sidx, svalid, n_surv = compact_indices(keep, K2)
     s = ref["s"][sidx]
-    y = ref["y"][sidx]
-    x = ref["x"][sidx]
+    y = ref["y"][sidx] - coord_off
+    x = ref["x"][sidx] - coord_off
     off_s = ref["off_s"][sidx]
     off_y = ref["off_y"][sidx]
     off_x = ref["off_x"][sidx]
@@ -73,12 +94,15 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
     kp_scale = ori_ops.kp_scale_of(s, off_s, cfg)
 
-    gauss_padded = jnp.pad(gauss, ((0, 0),
-                                   (desc_ops.PAD_DESC, desc_ops.PAD_DESC),
-                                   (desc_ops.PAD_DESC, desc_ops.PAD_DESC)))
-    hist = ori_ops.orientation_histograms_blocked(
-        gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
-        pad=desc_ops.PAD_DESC, count=n_surv)
+    if use_pallas:
+        from ..ops.pallas.orientation_kernel import orientation_histograms_pallas
+
+        hist = orientation_histograms_pallas(
+            gauss_padded, s, y, x, kp_scale, n_surv, h, w, cfg)
+    else:
+        hist = ori_ops.orientation_histograms_blocked(
+            gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
+            pad=desc_ops.PAD_DESC, count=n_surv)
     angles, emit = ori_ops.orientation_peaks(hist, cfg)
     emit &= svalid[:, None]
 
@@ -95,9 +119,19 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     kp_resp = resp[ci]
     kp_s = s[ci]
 
-    descs = desc_ops.descriptor_batch_blocked(
-        gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid, cfg,
-        count=n_emit)
+    if use_pallas:
+        from ..ops.extrema import rust_round
+        from ..ops.pallas.descriptor_kernel import descriptor_hist_pallas
+
+        xi = rust_round(x_oct).astype(jnp.int32)
+        yi = rust_round(y_oct).astype(jnp.int32)
+        hist128 = descriptor_hist_pallas(
+            gauss_padded, kp_s, xi, yi, kp_sc, kp_angle, n_emit, h, w, cfg)
+        descs = desc_ops.finalize_descriptor(hist128, cfg)
+    else:
+        descs = desc_ops.descriptor_batch_blocked(
+            gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid,
+            cfg, count=n_emit)
 
     osf = F32(2.0 ** octave)
     dm = F32(cfg.delta_min)
@@ -129,8 +163,7 @@ def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
 
             imgs.append(gaussian_blur(imgs[-1], sig))
         gauss = jnp.stack(imgs, axis=0)
-        dog = gauss[1:] - gauss[:-1]
-        out.append(_detect_octave(gauss, dog, o, cfg))
+        out.append(_detect_octave(gauss, None, o, cfg))
         from ..ops.resize import resize_nearest_half
 
         initial = resize_nearest_half(imgs[len(imgs) - 3])
@@ -148,7 +181,11 @@ def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _extract_batch_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
-    return jax.vmap(lambda im: _extract_single(im, n_octaves, cfg))(imgs_u8)
+    # lax.map (not vmap): each frame's ops are full-size dense kernels that
+    # saturate the chip alone, and the Pallas kernels use manual DMA that
+    # must not be batch-transformed.
+    return jax.lax.map(lambda im: _extract_single(im, n_octaves, cfg),
+                       imgs_u8)
 
 
 def extract_batch(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):

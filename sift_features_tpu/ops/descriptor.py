@@ -28,7 +28,21 @@ F32 = jnp.float32
 
 # Max descriptor radius: round(3*scale*sqrt(2)*2.5) with scale < 3.5923
 R_DESC_MAX = 39
-PAD_DESC = R_DESC_MAX + 1
+# window start pad (R+1) + Pallas DMA sublane-alignment overreach (aligned
+# start rounds down by <=7, the copy reads 96 rows: worst end = y+pad-R-1+7+96
+# <= (h-1)+pad+62-R must stay within h+2*pad => pad >= 62-R+... use R+17
+PAD_DESC = R_DESC_MAX + 17
+
+
+def pad_stack_for_kernels(gauss: "jnp.ndarray") -> "jnp.ndarray":
+    """Pad an (S, H, W) Gaussian stack for the window kernels: PAD_DESC on
+    all sides, plus extra right columns so the padded width is a multiple of
+    128 — the Pallas DMA clamps its lane-aligned start against
+    (padded_w - 256), which is then itself 128-aligned."""
+    w_pad = gauss.shape[-1] + 2 * PAD_DESC
+    extra = (-w_pad) % 128
+    return jnp.pad(gauss, ((0, 0), (PAD_DESC, PAD_DESC),
+                           (PAD_DESC, PAD_DESC + extra)))
 
 DEG2RAD_F32 = np.float32(np.float32(np.pi) / np.float32(180.0))  # Rust to_radians
 

@@ -38,12 +38,18 @@ def rust_round(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(frac) == 0.5, t + jnp.sign(x), r)
 
 
-def extrema_mask(dog: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG) -> jnp.ndarray:
-    """(..., S+2, H, W) f32 -> (..., S, H, W) bool discrete-extremum mask."""
+def extrema_mask(dog: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG,
+                 bounds=None) -> jnp.ndarray:
+    """(..., S+2, H, W) f32 -> (..., S, H, W) bool discrete-extremum mask.
+
+    bounds=(y0, y1, x0, x1) overrides the interior scan range (used when dog
+    is a PADDED stack: the pad ring must never produce candidates)."""
     *lead, S, H, W = dog.shape
     n_s = cfg.scales_per_octave
     border = cfg.image_border
-    if H < 2 * border or W < 2 * border:
+    if bounds is None and (H < 2 * border or W < 2 * border):
+        return jnp.zeros((*lead, n_s, H, W), bool)
+    if bounds is not None and (bounds[1] <= bounds[0] or bounds[3] <= bounds[2]):
         return jnp.zeros((*lead, n_s, H, W), bool)
 
     ndim = dog.ndim
@@ -60,10 +66,12 @@ def extrema_mask(dog: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG) -> jnp.ndar
     v = dog[..., 1:n_s + 1, :, :]
     m = ((v > 0.0) & (v >= mx)) | ((v < 0.0) & (v <= mn))
     # border mask (interior scan range, lib.rs:315-323)
+    y0, y1, x0, x1 = bounds if bounds is not None else (
+        border, H - border, border, W - border)
     ys = jnp.arange(H)
     xs = jnp.arange(W)
-    m &= ((ys >= border) & (ys < H - border))[:, None]
-    m &= ((xs >= border) & (xs < W - border))[None, :]
+    m &= ((ys >= y0) & (ys < y1))[:, None]
+    m &= ((xs >= x0) & (xs < x1))[None, :]
     return m
 
 
@@ -84,12 +92,16 @@ def find_candidates(mask: jnp.ndarray, k_max: int):
 
 def _gather_cubes(dog: jnp.ndarray, s, y, x) -> jnp.ndarray:
     """(K,) int32 coords -> (K, 3, 3, 3) neighborhood cubes centered at
-    (s, y, x). Callers guarantee interior coords for live lanes; dead lanes
-    read clamped garbage that is masked downstream."""
-    def one(si, yi, xi):
-        return jax.lax.dynamic_slice(dog, (si - 1, yi - 1, xi - 1), (3, 3, 3))
-
-    return jax.vmap(one)(s, y, x)
+    (s, y, x), as ONE flat take (a vmapped dynamic_slice lowers to K serial
+    slices on TPU). Callers guarantee interior coords for live lanes; dead
+    lanes read clamped garbage that is masked downstream."""
+    S, H, W = dog.shape
+    off = np.asarray([(ds * H + dy) * W + dx
+                      for ds in (-1, 0, 1) for dy in (-1, 0, 1)
+                      for dx in (-1, 0, 1)], np.int32).reshape(1, 27)
+    lin = ((s * H + y) * W + x)[:, None] + jnp.asarray(off)
+    cube = jnp.take(dog.ravel(), lin.ravel(), mode="clip")
+    return cube.reshape(-1, 3, 3, 3)
 
 
 def _newton_from_cubes(cube: jnp.ndarray, cfg: SiftConfig):
@@ -197,6 +209,55 @@ def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG
         bad = ((s < 1) | (s > cfg.scales_per_octave)
                | (x < border) | (x >= W - border)
                | (y < border) | (y >= H - border))
+        dead |= step & bad
+
+    return {
+        "ok": converged, "s": s, "y": y, "x": x,
+        "off_s": fields["off_s"], "off_y": fields["off_y"],
+        "off_x": fields["off_x"], "response": fields["response"],
+        "keep": fields["keep"] & converged,
+    }
+
+
+def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
+               h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG):
+    """TPU refinement loop driving the Pallas per-step kernel
+    (ops.pallas.refine_kernel): same semantics as refine(), but positions are
+    in PADDED stack coordinates and cube evaluation is a DMA'd vector kernel
+    instead of an XLA gather. Blocks whose candidates have all converged or
+    died are skipped per step. Returned y/x are padded coords."""
+    from .pallas.refine_kernel import refine_step_pallas
+
+    S = dog_padded.shape[0]  # S+2 dog slices
+    border = cfg.image_border
+    w_pad = dog_padded.shape[2]
+
+    s, y, x = s0, y0, x0
+    K = s.shape[0]
+    converged = jnp.zeros(K, bool)
+    dead = ~valid
+    fields = None
+    for _ in range(cfg.max_interpolation_steps):
+        active = ~(converged | dead)
+        out = refine_step_pallas(dog_padded, s, y, x,
+                                 active.astype(jnp.int32), w_pad, cfg)
+        ok_here = out[:, 0] > 0
+        newly = active & ok_here
+        converged |= newly
+        f = {"off_s": out[:, 4], "off_y": out[:, 5], "off_x": out[:, 6],
+             "response": out[:, 7], "keep": out[:, 8] > 0}
+        if fields is None:
+            fields = f
+        else:
+            for kf in fields:
+                fields[kf] = jnp.where(newly, f[kf], fields[kf])
+        step = active & ~ok_here
+        x = jnp.where(step, x + out[:, 3].astype(jnp.int32), x)
+        y = jnp.where(step, y + out[:, 2].astype(jnp.int32), y)
+        s = jnp.where(step, s + out[:, 1].astype(jnp.int32), s)
+        bad = ((s < 1) | (s > cfg.scales_per_octave)
+               | (x - pad < border) | (x - pad >= w - border)
+               | (y - pad < border) | (y - pad >= h - border))
         dead |= step & bad
 
     return {

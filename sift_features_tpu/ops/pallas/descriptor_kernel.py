@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: raw 128-bin SIFT descriptor histograms per keypoint.
+
+Replaces the gather + one-hot-matmul inner loop of ops.descriptor on TPU:
+each grid step DMAs its keypoints' (81, 81) windows HBM->VMEM
+(double-buffered) and performs the rotate/trilinear accumulation as VPU
+masked reductions entirely in VMEM — the padded 6x6 accumulator's border
+cells are never computed (they are cropped by the reference anyway,
+lib.rs:950-952). Blocks wholly past the valid count are skipped.
+
+Outputs RAW f32 histograms (M, 128); the normalization/quantization tail
+(chunks-of-4 order, clamp, 512-scale, u8 — lib.rs:950-990) runs outside via
+ops.descriptor.finalize_descriptor.
+
+Reference math: compute_descriptor (lib.rs:785-948).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import DEFAULT_CONFIG, SiftConfig
+from .util import atan2_f32, round_half_away
+from ..descriptor import R_DESC_MAX, DEG2RAD_F32
+
+F32 = jnp.float32
+WN = 2 * R_DESC_MAX + 3         # 81
+N_S = 2 * R_DESC_MAX + 1        # 79 sample grid side
+LANES = 128
+LANES_DMA = 256             # lane-aligned DMA width (window + <=127 shift)
+SUBL = -(-WN // 8) * 8 + 8      # window rows + up to 7 alignment rows
+BK = 8                          # keypoints per grid step
+
+
+def _kernel(count_ref, s_ref, y_ref, x_ref,
+            scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
+            n_hist, n_bins, lambda_descr, h, w, pad, w_pad):
+    blk = pl.program_id(0)
+    base = blk * BK
+    n = N_S
+
+    def start_y(i):
+        return y_ref[i] + pad - R_DESC_MAX - 1
+
+    def start_x(i):
+        return x_ref[i] + pad - R_DESC_MAX - 1
+
+    def dma(slot, k):
+        # HBM slices must be tile-aligned (8 sublanes x 128 lanes) in both
+        # start and size: DMA the aligned (SUBL, LANES_DMA) superset and
+        # shift in-register afterwards (pltpu.roll). The lane start clamps
+        # at the right edge; the padding budget keeps the residual within
+        # LANES_DMA - WN.
+        i = base + k
+        ys_al = pl.multiple_of((start_y(i) // 8) * 8, 8)
+        xs_al = pl.multiple_of(
+            jnp.minimum((start_x(i) // 128) * 128, w_pad - LANES_DMA), 128)
+        return pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i],
+                         pl.ds(ys_al, SUBL),
+                         pl.ds(xs_al, LANES_DMA)],
+            win_ref.at[slot],
+            sem.at[slot])
+
+    @pl.when(base < count_ref[0])
+    def _():
+        dma(0, 0).start()
+        for k in range(BK):
+            slot = k % 2
+            if k + 1 < BK:
+                dma(1 - slot, k + 1).start()
+            dma(slot, k).wait()
+            ys = start_y(base + k)
+            xs = start_x(base + k)
+            ro = ys - (ys // 8) * 8
+            co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
+            # compiled dynamic rolls mis-handle negative shifts for
+            # >16-sublane arrays: always shift by the positive complement
+            win = pltpu.roll(win_ref[slot], jax.lax.rem(SUBL - ro, jnp.int32(SUBL)), axis=0)
+            win = pltpu.roll(win, jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)), axis=1)
+            dx = win[1:1 + n, 2:2 + n] - win[1:1 + n, 0:n]
+            dy = win[0:n, 1:1 + n] - win[2:2 + n, 1:1 + n]
+
+            i = base + k
+            # f32 per-candidate params travel in VMEM (f32 scalar prefetch
+            # mis-lowers on this backend); extract via (1,1) slice + sum
+            kp_scale = jnp.sum(scale_blk[pl.ds(blk, 1), k:k + 1])
+            yi = y_ref[i]
+            xi = x_ref[i]
+            orientation = F32(360.0) - jnp.sum(angle_blk[pl.ds(blk, 1), k:k + 1])
+            hist_width = F32(lambda_descr) * kp_scale
+            radius = round_half_away(
+                hist_width * np.float32(np.sqrt(np.float32(2.0)))
+                * F32(n_hist + 1) * F32(0.5))
+            ori_rad = orientation * DEG2RAD_F32
+            sin_s = jnp.sin(ori_rad) / hist_width
+            cos_s = jnp.cos(ori_rad) / hist_width
+
+            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - R_DESC_MAX
+            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - R_DESC_MAX
+            dyf = dyy.astype(F32)
+            dxf = dxx.astype(F32)
+            col_rot = dxf * cos_s - dyf * sin_s
+            row_rot = dxf * sin_s + dyf * cos_s
+            half = F32(n_hist / 2)
+            row_bin = row_rot + half
+            col_bin = col_rot + half
+
+            y_img = yi + dyy
+            x_img = xi + dxx
+            ok = ((jnp.abs(dyy).astype(F32) <= radius)
+                  & (jnp.abs(dxx).astype(F32) <= radius)
+                  & (row_bin > F32(-0.5)) & (row_bin < F32(n_hist + 0.5))
+                  & (col_bin > F32(-0.5)) & (col_bin < F32(n_hist + 0.5))
+                  & (y_img > 0) & (y_img < h - 1)
+                  & (x_img > 0) & (x_img < w - 1)
+                  & (i < count_ref[0]))
+
+            wscale = F32(-2.0) / F32(n_hist * n_hist)
+            w2 = col_rot * col_rot + row_rot * row_rot
+            weights = jnp.exp(w2 * wscale)
+            mag = jnp.sqrt(dx * dx + dy * dy)
+            deg = atan2_f32(dy, dx) * np.float32(180.0 / np.pi)
+            ori_norm = jnp.mod(deg + F32(360.0), F32(360.0)) - orientation
+
+            bin_step = np.float32(np.float32(n_bins) / np.float32(360.0))
+            rb = row_bin - F32(0.5)
+            cb = col_bin - F32(0.5)
+            m = jnp.where(ok, mag * weights, F32(0.0))
+            obin = ori_norm * bin_step
+            rfl = jnp.floor(rb)
+            cfl = jnp.floor(cb)
+            ofl = jnp.floor(obin)
+            rfr = jnp.where(ok, rb - rfl, F32(0.0))
+            cfr = jnp.where(ok, cb - cfl, F32(0.0))
+            ofr = jnp.where(ok, obin - ofl, F32(0.0))
+            # clip to side-2 == n_hist (matches ops.descriptor; masked lanes
+            # may hold wild bins, contributions there are zero)
+            r1 = jnp.clip(jnp.where(ok, rfl, F32(0.0)).astype(jnp.int32) + 1,
+                          0, n_hist)
+            c1 = jnp.clip(jnp.where(ok, cfl, F32(0.0)).astype(jnp.int32) + 1,
+                          0, n_hist)
+            of = jnp.where(ok, ofl, F32(0.0)).astype(jnp.int32)
+            of = jnp.where(of < 0, of + n_bins, of)
+            of = jnp.where(of >= n_bins, of - n_bins, of)
+            of = jnp.clip(of, 0, n_bins - 1)
+            of1 = jnp.where(of + 1 >= n_bins, 0, of + 1)
+
+            planes = [m * (F32(1.0) - ofr) * (of == o).astype(F32)
+                      + m * ofr * (of1 == o).astype(F32)
+                      for o in range(n_bins)]
+            u_r = [(F32(1.0) - rfr) * (r1 == r).astype(F32)
+                   + rfr * (r1 == r - 1).astype(F32)
+                   for r in range(1, n_hist + 1)]
+            u_c = [(F32(1.0) - cfr) * (c1 == c).astype(F32)
+                   + cfr * (c1 == c - 1).astype(F32)
+                   for c in range(1, n_hist + 1)]
+
+            sums = []
+            for r in range(n_hist):
+                for c in range(n_hist):
+                    wrc = u_r[r] * u_c[c]
+                    for o in range(n_bins):
+                        sums.append(jnp.sum(wrc * planes[o]).reshape(1, 1))
+            row = jnp.concatenate(sums, axis=1)   # (1, 128)
+            hist_ref[pl.ds(k, 1), :] = row
+
+    @pl.when(base >= count_ref[0])
+    def _():
+        hist_ref[:, :] = jnp.zeros((BK, n_hist * n_hist * n_bins), F32)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
+                           h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
+                           interpret: bool = False):
+    """Raw descriptor histograms via the Pallas kernel.
+
+    gauss_padded: (S+3, H+2P, W+2P) f32 with P >= R_DESC_MAX+1.
+    s: (M,) int32 scale index; xi/yi: (M,) int32 rust_round'ed keypoint
+    pixel coords; kp_scale/angle: (M,) f32; count: int32 valid prefix
+    length. Returns (M, 128) f32 raw histograms (finalize separately)."""
+    M = s.shape[0]
+    nb = -(-M // BK)
+    padn = nb * BK - M
+
+    def pad1(a):
+        return jnp.pad(a, (0, padn))
+
+    pad_amt = (gauss_padded.shape[1] - h) // 2
+    D = cfg.descriptor_size
+
+    kernel = functools.partial(
+        _kernel, n_hist=cfg.descriptor_n_histograms,
+        n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
+        h=h, w=w, pad=pad_amt, w_pad=gauss_padded.shape[2])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,   # count, s, y, x
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb,BK)
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # angle (nb,BK)
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BK, D), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, SUBL, LANES_DMA), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    hist = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * BK, D), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(count, jnp.int32).reshape(1),
+      pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
+      pad1(jnp.clip(yi, 0, h - 1)).astype(jnp.int32),
+      pad1(jnp.clip(xi, 0, w - 1)).astype(jnp.int32),
+      pad1(kp_scale).reshape(nb, BK), pad1(angle).reshape(nb, BK),
+      gauss_padded)
+    return hist[:M]

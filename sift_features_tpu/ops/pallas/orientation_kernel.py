@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: 36-bin orientation histograms for a candidate batch.
+
+Replaces ops.orientation.orientation_histograms on TPU: instead of an XLA
+gather of (K, 37, 37) windows + per-bin masked sums over HBM-materialized
+intermediates, each grid step DMAs its candidates' windows HBM->VMEM
+(double-buffered) and does the gradient/weight/bin math plus all 36 masked
+reductions entirely in VMEM. Blocks wholly past the valid count are skipped
+via @pl.when, so cost scales with the real candidate count.
+
+Candidate validity == lane index < count (the candidate buffers come from
+the order-preserving compaction, so valid lanes are exactly the leading
+`count` lanes).
+
+Numerics: f32 throughout (atan2/exp in f32 — same as the XLA TPU path where
+x64 is unavailable; the CPU oracle keeps the f64 reference semantics).
+Reference math: gradient_direction_histogram (lib.rs:655-757).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import DEFAULT_CONFIG, SiftConfig
+from .util import atan2_f32, round_half_away
+from ..orientation import R_ORI_MAX
+
+F32 = jnp.float32
+WN = 2 * R_ORI_MAX + 3          # 2*16 + 3 = 35 (incl. gradient halo)
+LANES = 128
+LANES_DMA = 256             # lane-aligned DMA width (window + <=127 shift)
+SUBL = -(-WN // 8) * 8 + 8      # window rows + up to 7 alignment rows
+BK = 8                          # candidates per grid step
+
+
+def _kernel(count_ref, s_ref, y_ref, x_ref,
+            scale_blk, gauss_hbm, hist_ref, win_ref, sem, *, n_bins,
+            lambda_ori, h, w, pad, w_pad):
+    blk = pl.program_id(0)
+    base = blk * BK
+    n = WN - 2
+
+    def start_y(i):
+        return y_ref[i] + pad - R_ORI_MAX - 1
+
+    def start_x(i):
+        return x_ref[i] + pad - R_ORI_MAX - 1
+
+    def dma(slot, k):
+        # HBM slices must be tile-aligned (8 sublanes x 128 lanes) in both
+        # start and size: DMA the aligned (SUBL, LANES_DMA) superset and
+        # shift in-register afterwards (pltpu.roll). The lane start clamps
+        # at the right edge; the padding budget keeps the residual within
+        # LANES_DMA - WN.
+        i = base + k
+        ys_al = pl.multiple_of((start_y(i) // 8) * 8, 8)
+        xs_al = pl.multiple_of(
+            jnp.minimum((start_x(i) // 128) * 128, w_pad - LANES_DMA), 128)
+        return pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i],
+                         pl.ds(ys_al, SUBL),
+                         pl.ds(xs_al, LANES_DMA)],
+            win_ref.at[slot],
+            sem.at[slot])
+
+    @pl.when(base < count_ref[0])
+    def _():
+        dma(0, 0).start()
+
+        # static unroll over the block: DMA k+1 starts before computing k
+        for k in range(BK):
+            slot = k % 2
+            if k + 1 < BK:
+                dma(1 - slot, k + 1).start()
+
+            dma(slot, k).wait()
+            ys = start_y(base + k)
+            xs = start_x(base + k)
+            ro = ys - (ys // 8) * 8
+            co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
+            # compiled dynamic rolls mis-handle negative shifts for
+            # >16-sublane arrays: always shift by the positive complement
+            win = pltpu.roll(win_ref[slot], jax.lax.rem(SUBL - ro, jnp.int32(SUBL)), axis=0)
+            win = pltpu.roll(win, jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)), axis=1)
+            dx = win[1:1 + n, 2:2 + n] - win[1:1 + n, 0:n]
+            dy = win[0:n, 1:1 + n] - win[2:2 + n, 1:1 + n]
+
+            i = base + k
+            # f32 per-candidate params travel in VMEM (f32 scalar prefetch
+            # mis-lowers on this backend); extract via (1,1) slice + sum
+            kp_scale = jnp.sum(scale_blk[pl.ds(blk, 1), k:k + 1])
+            yi = y_ref[i]
+            xi = x_ref[i]
+            sigma = F32(lambda_ori) * kp_scale
+            radius = round_half_away(F32(3.0) * F32(lambda_ori) * kp_scale)
+            gws = F32(-1.0) / (F32(2.0) * sigma * sigma)
+
+            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - R_ORI_MAX
+            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - R_ORI_MAX
+            y_img = yi + dyy
+            x_img = xi + dxx
+            ok = ((jnp.abs(dyy).astype(F32) <= radius)
+                  & (jnp.abs(dxx).astype(F32) <= radius)
+                  & (y_img >= 1) & (y_img <= h - 2)
+                  & (x_img >= 1) & (x_img <= w - 2)
+                  & (i < count_ref[0]))
+
+            d2 = (dyy * dyy + dxx * dxx).astype(F32)
+            weights = jnp.exp(d2 * gws)
+            mags = jnp.sqrt(dx * dx + dy * dy)
+            oris = atan2_f32(dy, dx)
+
+            bstep = np.float32(n_bins) / (np.float32(np.pi) * np.float32(2.0))
+            b = round_half_away(bstep * oris).astype(jnp.int32)
+            b = jnp.where(b >= n_bins, b - n_bins, b)
+            b = jnp.where(b < 0, b + n_bins, b)
+
+            contrib = jnp.where(ok, weights * mags, F32(0.0))
+            row = jnp.concatenate(
+                [jnp.sum(jnp.where(b == bi, contrib, F32(0.0))).reshape(1, 1)
+                 for bi in range(n_bins)], axis=1)        # (1, n_bins)
+            hist_ref[pl.ds(k, 1), :] = row
+
+    @pl.when(base >= count_ref[0])
+    def _():
+        hist_ref[:, :] = jnp.zeros((BK, n_bins), F32)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
+                                  h: int, w: int,
+                                  cfg: SiftConfig = DEFAULT_CONFIG,
+                                  interpret: bool = False):
+    """gauss_padded: (S+3, H+2P, W+2P) f32 (pad >= R_ORI_MAX+1).
+    s/y/x: (K,) int32 (compacted: lanes >= count are padding), kp_scale:
+    (K,) f32, count: int32 true candidate count. Returns smoothed (K, 36)
+    f32 histograms ([1,4,6,4,1]/16 circular smoothing applied outside the
+    kernel, lib.rs:737-756)."""
+    K = s.shape[0]
+    nb = -(-K // BK)
+    padn = nb * BK - K
+
+    def pad1(a):
+        return jnp.pad(a, (0, padn))
+
+    pad_amt = (gauss_padded.shape[1] - h) // 2
+    n_bins = cfg.n_orientation_bins
+
+    kernel = functools.partial(
+        _kernel, n_bins=n_bins, lambda_ori=cfg.lambda_ori,
+        h=h, w=w, pad=pad_amt, w_pad=gauss_padded.shape[2])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,   # count, s, y, x
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb, BK)
+            pl.BlockSpec(memory_space=pl.ANY),       # gauss stack (HBM)
+        ],
+        out_specs=pl.BlockSpec((BK, n_bins), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, SUBL, LANES_DMA), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    raw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * BK, n_bins), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(count, jnp.int32).reshape(1),
+      pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
+      pad1(jnp.clip(y, 0, h - 1)).astype(jnp.int32),
+      pad1(jnp.clip(x, 0, w - 1)).astype(jnp.int32),
+      pad1(kp_scale).reshape(nb, BK),
+      gauss_padded)
+
+    raw = raw[:K]
+    rm2 = jnp.roll(raw, 2, axis=1)
+    rm1 = jnp.roll(raw, 1, axis=1)
+    rp1 = jnp.roll(raw, -1, axis=1)
+    rp2 = jnp.roll(raw, -2, axis=1)
+    return ((rm2 + rp2) * F32(1.0 / 16.0)
+            + (rm1 + rp1) * F32(4.0 / 16.0)
+            + raw * F32(6.0) / F32(16.0))

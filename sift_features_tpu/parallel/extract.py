@@ -32,7 +32,7 @@ from .halo import gaussian_blur_sharded
 def _extract_dp_jit(imgs: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
                     mesh: Mesh):
     def shard_body(im_shard):
-        return jax.vmap(lambda im: _extract_single(im, n_octaves, cfg))(im_shard)
+        return jax.lax.map(lambda im: _extract_single(im, n_octaves, cfg), im_shard)
 
     return jax.shard_map(
         shard_body, mesh=mesh,

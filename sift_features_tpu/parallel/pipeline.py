@@ -43,7 +43,7 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
                 return _extract_single_spatial(im, n_octaves, cfg, n_space)
             return _extract_single(im, n_octaves, cfg)
 
-        return jax.vmap(one)(im_shard)
+        return jax.lax.map(one, im_shard)
 
     # check_vma=False: the spatial path's detection outputs ARE replicated
     # over 'space' (they're computed from row-all_gathered stacks), but the

@@ -1,0 +1,145 @@
+"""Pallas TPU kernels vs their jnp twins (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sift_features_tpu.config import DEFAULT_CONFIG
+from sift_features_tpu.ops import descriptor as desc_ops
+from sift_features_tpu.ops import orientation as ori_ops
+from sift_features_tpu.ops.pallas.orientation_kernel import (
+    orientation_histograms_pallas)
+
+
+@pytest.fixture(scope="module")
+def ori_case():
+    rng = np.random.RandomState(0)
+    h, w = 96, 128
+    S = 6
+    gauss = rng.rand(S, h, w).astype(np.float32)
+    from sift_features_tpu.ops import descriptor as desc_ops
+    import jax.numpy as _jnp
+    gp = np.asarray(desc_ops.pad_stack_for_kernels(_jnp.asarray(gauss)))
+    K = 24
+    count = 17
+    s = rng.randint(1, 4, K).astype(np.int32)
+    y = rng.randint(8, h - 8, K).astype(np.int32)
+    x = rng.randint(8, w - 8, K).astype(np.int32)
+    ks = (rng.rand(K).astype(np.float32) * 2.0 + 1.6)
+    s[count:] = 0
+    y[count:] = 0
+    x[count:] = 0
+    ks[count:] = 0
+    return gp, s, y, x, ks, count, h, w
+
+
+def test_orientation_kernel_matches_jnp(ori_case):
+    gp, s, y, x, ks, count, h, w = ori_case
+    cfg = DEFAULT_CONFIG
+    hist_p = orientation_histograms_pallas(
+        jnp.asarray(gp), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+        jnp.asarray(ks), count, h, w, cfg, interpret=True)
+    valid = np.arange(len(s)) < count
+    hist_j = ori_ops.orientation_histograms(
+        jnp.asarray(gp), h, w, jnp.asarray(s), jnp.asarray(y),
+        jnp.asarray(x), jnp.asarray(ks), jnp.asarray(valid), cfg, pad=desc_ops.PAD_DESC)
+    hp = np.asarray(hist_p)[:count]
+    hj = np.asarray(hist_j)[:count]
+    # jnp twin computes atan2/exp in f64 under x64; kernel is pure f32
+    np.testing.assert_allclose(hp, hj, rtol=2e-4, atol=2e-5)
+    # identical peak structure
+    from sift_features_tpu.ops.orientation import orientation_peaks
+
+    a_p, e_p = orientation_peaks(jnp.asarray(hist_p), cfg)
+    a_j, e_j = orientation_peaks(jnp.asarray(np.asarray(hist_j)), cfg)
+    np.testing.assert_array_equal(np.asarray(e_p)[:count],
+                                  np.asarray(e_j)[:count])
+    # invalid lanes produce all-zero histograms
+    assert (np.asarray(hist_p)[count:] == 0).all()
+
+
+def test_refine_kernel_matches_jnp():
+    from sift_features_tpu.ops import extrema as ext_ops
+    from sift_features_tpu.ops.pallas.refine_kernel import refine_step_pallas
+
+    rng = np.random.RandomState(2)
+    h, w = 96, 160
+    dog = rng.randn(5, h, w).astype(np.float32) * 0.05
+    gp = np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(dog)))
+    P = desc_ops.PAD_DESC
+    cfg = DEFAULT_CONFIG
+    K = 32
+    count = 23
+    s = rng.randint(1, 4, K).astype(np.int32)
+    y = rng.randint(6, h - 6, K).astype(np.int32)
+    x = rng.randint(6, w - 6, K).astype(np.int32)
+    active = (np.arange(K) < count).astype(np.int32)
+
+    out = refine_step_pallas(
+        jnp.asarray(gp), jnp.asarray(s), jnp.asarray(y + P),
+        jnp.asarray(x + P), jnp.asarray(active), gp.shape[2], cfg,
+        interpret=True)
+    out = np.asarray(out)
+
+    cube = ext_ops._gather_cubes(jnp.asarray(dog), jnp.asarray(s),
+                                 jnp.asarray(y), jnp.asarray(x))
+    ref = {k: np.asarray(v) for k, v in
+           ext_ops._newton_from_cubes(cube, cfg).items()}
+
+    a = slice(0, count)
+    np.testing.assert_array_equal(out[a, 0] > 0, ref["ok"][a])
+    np.testing.assert_allclose(out[a, 4], ref["off_s"][a], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[a, 5], ref["off_y"][a], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[a, 6], ref["off_x"][a], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[a, 7], ref["response"][a], rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_array_equal(out[a, 8] > 0, ref["keep"][a])
+    np.testing.assert_array_equal(out[a, 1], ref["step_s"][a].astype(np.float32))
+    np.testing.assert_array_equal(out[a, 2], ref["step_y"][a].astype(np.float32))
+    np.testing.assert_array_equal(out[a, 3], ref["step_x"][a].astype(np.float32))
+
+
+def test_descriptor_kernel_matches_jnp():
+    from sift_features_tpu.ops import descriptor as desc_ops
+    from sift_features_tpu.ops.extrema import rust_round
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_pallas)
+
+    rng = np.random.RandomState(1)
+    h, w = 128, 160
+    gauss = rng.rand(6, h, w).astype(np.float32)
+    gp = np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(gauss)))
+    M = 16
+    count = 11
+    cfg = DEFAULT_CONFIG
+    s = rng.randint(1, 4, M).astype(np.int32)
+    x = (rng.rand(M) * (w - 20) + 10).astype(np.float32)
+    y = (rng.rand(M) * (h - 20) + 10).astype(np.float32)
+    ks = (rng.rand(M) * 1.5 + 1.8).astype(np.float32)
+    ang = (rng.rand(M) * 360).astype(np.float32)
+    valid = np.arange(M) < count
+    s[count:] = 0
+    x[count:] = 0
+    y[count:] = 0
+    ks[count:] = 0
+    ang[count:] = 0
+
+    xi = np.asarray(rust_round(jnp.asarray(x))).astype(np.int32)
+    yi = np.asarray(rust_round(jnp.asarray(y))).astype(np.int32)
+    hist = descriptor_hist_pallas(
+        jnp.asarray(gp), jnp.asarray(s), jnp.asarray(xi), jnp.asarray(yi),
+        jnp.asarray(ks), jnp.asarray(ang), count, h, w, cfg, interpret=True)
+    desc_p = np.asarray(desc_ops.finalize_descriptor(hist, cfg))
+
+    desc_j = np.asarray(desc_ops.descriptor_batch(
+        jnp.asarray(gp), h, w, jnp.asarray(s), jnp.asarray(x),
+        jnp.asarray(y), jnp.asarray(ks), jnp.asarray(ang),
+        jnp.asarray(valid), cfg))
+
+    d = np.abs(desc_p[:count].astype(np.int32) - desc_j[:count].astype(np.int32))
+    # kernel is pure f32 (the jnp twin upcasts transcendentals to f64 under
+    # x64); quantized bytes may differ by 1 at rounding edges
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.02, (d > 0).mean()
+    assert (np.asarray(hist)[count:] == 0).all()
