@@ -86,7 +86,35 @@ def main():
 
     fps = b * iters / dt
     n_kp = int(np.asarray(out[2]).sum()) // b
-    print(json.dumps({
+
+    # reference point: OpenCV SIFT on this host's CPU, same frame (the
+    # reference crate benches head-to-head against cv2.SIFT, benches/sift.rs)
+    cv2_fps = None
+    if os.environ.get("BENCH_SKIP_CV2") != "1":
+        try:
+            import cv2
+
+            sift = cv2.SIFT_create()
+            sift.detectAndCompute(frames[0], None)  # warmup
+            t0 = time.perf_counter()
+            kk, _ = sift.detectAndCompute(frames[0], None)
+            cv2_fps = round(1.0 / (time.perf_counter() - t0), 3)
+        except Exception:
+            pass
+
+    hbm_gbps = None
+    if os.environ.get("BENCH_HBM") == "1":
+        x = jnp.ones((64 * 1024 * 1024 // 512, 128), jnp.float32)
+        fcopy = jax.jit(lambda a: a * np.float32(1.0001))
+        float(fcopy(x).ravel()[0])
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(8):
+            s = fcopy(x).ravel()[0]
+        float(s)
+        hbm_gbps = round(8 * 2 * x.size * 4 / (time.perf_counter() - t0) / 1e9, 1)
+
+    rec = {
         "metric": "1080p_extract_match_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -94,7 +122,11 @@ def main():
         "platform": platform,
         "batch": b,
         "kps_per_frame": n_kp,
-    }))
+        "cv2_cpu_fps": cv2_fps,
+    }
+    if hbm_gbps is not None:
+        rec["measured_hbm_gbps"] = hbm_gbps
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -47,25 +47,36 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
 
 
 def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
-                   cfg: SiftConfig):
-    """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W).
+                   cfg: SiftConfig, padded=None, hw=None):
+    """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W)
+    — OR, when `padded` is given, pre-built padded stacks from the fused
+    pyramid kernels: padded = (gauss_slots, dog_p, slot_off) where
+    gauss_slots[k] holds Gaussian level k + slot_off and hw = (h, w) is the
+    unpadded octave size.
 
     Returns dict of fixed-capacity (M,) keypoint fields + overflow counters.
     """
-    h, w = gauss.shape[-2], gauss.shape[-1]
+    if padded is not None:
+        gauss_padded, dog_p, slot_off = padded
+        h, w = hw
+    else:
+        h, w = gauss.shape[-2], gauss.shape[-1]
+        slot_off = 0
     K, K2, M = _octave_capacities(h, w, cfg)
     P = desc_ops.PAD_DESC
 
-    gauss_padded = desc_ops.pad_stack_for_kernels(gauss)
+    if padded is None:
+        gauss_padded = desc_ops.pad_stack_for_kernels(gauss)
     # Pallas kernels need the padded plane to cover a 256-lane aligned DMA
     use_pallas = (cfg.use_pallas and jax.devices()[0].platform == "tpu"
                   and gauss_padded.shape[-1] >= 256)
 
     if use_pallas:
-        # padded-coordinate detection: the DoG is formed from the padded
-        # stack (no unpadded copy is ever materialized) and refinement runs
-        # in the DMA'd Pallas kernel
-        dog_p = gauss_padded[1:] - gauss_padded[:-1]
+        # padded-coordinate detection: the DoG is formed in the padded
+        # layout (no unpadded copy is ever materialized) and refinement
+        # runs in the DMA'd Pallas kernel
+        if padded is None:
+            dog_p = gauss_padded[1:] - gauss_padded[:-1]
         b = cfg.image_border
         mask = ext_ops.extrema_mask(
             dog_p, cfg, bounds=(P + b, P + h - b, P + b, P + w - b))
@@ -98,7 +109,7 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         from ..ops.pallas.orientation_kernel import orientation_histograms_pallas
 
         hist = orientation_histograms_pallas(
-            gauss_padded, s, y, x, kp_scale, n_surv, h, w, cfg)
+            gauss_padded, s - slot_off, y, x, kp_scale, n_surv, h, w, P, cfg)
     else:
         hist = ori_ops.orientation_histograms_blocked(
             gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
@@ -126,7 +137,8 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         xi = rust_round(x_oct).astype(jnp.int32)
         yi = rust_round(y_oct).astype(jnp.int32)
         hist128 = descriptor_hist_pallas(
-            gauss_padded, kp_s, xi, yi, kp_sc, kp_angle, n_emit, h, w, cfg)
+            gauss_padded, kp_s - slot_off, xi, yi, kp_sc, kp_angle, n_emit,
+            h, w, P, cfg)
         descs = desc_ops.finalize_descriptor(hist128, cfg)
     else:
         descs = desc_ops.descriptor_batch_blocked(
@@ -152,22 +164,44 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
     """Full single-image pipeline (traced once per (H, W))."""
     seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]
-    octs = []
     initial = seed
     sigmas = cfg.octave_sigmas()
+    on_tpu = cfg.use_pallas and jax.devices()[0].platform == "tpu"
+    P = desc_ops.PAD_DESC
     out = []
     for o in range(n_octaves):
-        imgs = [initial]
-        for sig in sigmas[1:]:
-            from ..ops.gaussian import gaussian_blur
+        h, w = initial.shape
+        h_pad = -(-(h + 2 * P) // 128) * 128
+        w_pad = -(-(w + 2 * P) // 128) * 128
+        if w_pad > 1536:  # lane-blocked pyramid kernel needs 1024-multiples
+            w_pad = -(-w_pad // 1024) * 1024
+        # fused pyramid kernel needs room for a 128-row strip grid and
+        # 256-lane window DMAs
+        use_pyr_kernel = on_tpu and h_pad >= 256 and w_pad >= 256
+        if use_pyr_kernel:
+            from ..ops.pallas.pyramid_kernel import (build_octave_padded,
+                                                     reflect_pad_image)
 
-            imgs.append(gaussian_blur(imgs[-1], sig))
-        gauss = jnp.stack(imgs, axis=0)
-        out.append(_detect_octave(gauss, None, o, cfg))
-        from ..ops.resize import resize_nearest_half
+            base_padded = reflect_pad_image(
+                initial, P, w_pad - w - 2 * P, h_pad - h - 2 * P)
+            g_slots, dog_p = build_octave_padded(base_padded, cfg)
+            out.append(_detect_octave(None, None, o, cfg,
+                                      padded=(g_slots, dog_p, 1), hw=(h, w)))
+            # next octave base: NN 1/2 downsample of Gaussian level S
+            # (slot S-1), interior only (lib.rs:245-248)
+            s_img = g_slots[cfg.scales_per_octave - 1]
+            initial = s_img[P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
+        else:
+            imgs = [initial]
+            for sig in sigmas[1:]:
+                from ..ops.gaussian import gaussian_blur
 
-        initial = resize_nearest_half(imgs[len(imgs) - 3])
-        octs.append(gauss)
+                imgs.append(gaussian_blur(imgs[-1], sig))
+            gauss = jnp.stack(imgs, axis=0)
+            out.append(_detect_octave(gauss, None, o, cfg))
+            from ..ops.resize import resize_nearest_half
+
+            initial = resize_nearest_half(imgs[len(imgs) - 3])
     res = {
         "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
         "desc": jnp.concatenate([r["desc"] for r in out], axis=0),

@@ -213,9 +213,12 @@ def descriptor_batch_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
         start, blk = arg
         if count is None:
             return compute(blk)
+        # the zero branch derives from blk so both branches carry the same
+        # device-variance under shard_map (plain zeros would be 'replicated')
         return jax.lax.cond(
             start < count, compute,
-            lambda _: jnp.zeros((block, cfg.descriptor_size), jnp.uint8), blk)
+            lambda b: jnp.zeros((block, cfg.descriptor_size), jnp.uint8)
+            + (b[0][0] * 0).astype(jnp.uint8), blk)
 
     out = jax.lax.map(body, args)
     return out.reshape(nb * block, -1)[:M]

@@ -151,9 +151,11 @@ def orientation_histograms_blocked(gauss_padded: jnp.ndarray, h: int, w: int,
         start, blk = arg
         if count is None:
             return compute(blk)
+        # zero branch derives from blk for matching shard_map variance
         return jax.lax.cond(
             start < count, compute,
-            lambda _: jnp.zeros((block, cfg.n_orientation_bins), F32), blk)
+            lambda b: jnp.zeros((block, cfg.n_orientation_bins), F32)
+            + b[3][0] * 0, blk)
 
     out = jax.lax.map(body, args)
     return out.reshape(nb * block, -1)[:K]

@@ -175,9 +175,10 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         hist_ref[:, :] = jnp.zeros((BK, n_hist * n_hist * n_bins), F32)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
-                           h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
+                           h: int, w: int, pad: int,
+                           cfg: SiftConfig = DEFAULT_CONFIG,
                            interpret: bool = False):
     """Raw descriptor histograms via the Pallas kernel.
 
@@ -192,13 +193,12 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
     def pad1(a):
         return jnp.pad(a, (0, padn))
 
-    pad_amt = (gauss_padded.shape[1] - h) // 2
     D = cfg.descriptor_size
 
     kernel = functools.partial(
         _kernel, n_hist=cfg.descriptor_n_histograms,
         n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
-        h=h, w=w, pad=pad_amt, w_pad=gauss_padded.shape[2])
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x

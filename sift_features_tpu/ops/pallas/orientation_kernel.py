@@ -131,9 +131,9 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         hist_ref[:, :] = jnp.zeros((BK, n_bins), F32)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
-                                  h: int, w: int,
+                                  h: int, w: int, pad: int,
                                   cfg: SiftConfig = DEFAULT_CONFIG,
                                   interpret: bool = False):
     """gauss_padded: (S+3, H+2P, W+2P) f32 (pad >= R_ORI_MAX+1).
@@ -148,12 +148,11 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
     def pad1(a):
         return jnp.pad(a, (0, padn))
 
-    pad_amt = (gauss_padded.shape[1] - h) // 2
     n_bins = cfg.n_orientation_bins
 
     kernel = functools.partial(
         _kernel, n_bins=n_bins, lambda_ori=cfg.lambda_ori,
-        h=h, w=w, pad=pad_amt, w_pad=gauss_padded.shape[2])
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x

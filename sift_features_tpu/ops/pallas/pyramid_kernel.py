@@ -1,0 +1,168 @@
+"""Pallas TPU kernels: fused Gaussian pyramid + DoG construction.
+
+The XLA path runs each blur as two tap-sum passes over reflect-padded
+copies, then subtracts DoG and re-pads the stack for the window kernels —
+at this device's measured ~50 GB/s effective HBM bandwidth those extra
+full-image passes dominate the pyramid cost. Here each level is ONE fused
+kernel: a row strip of the previous level is DMA'd once, the horizontal +
+vertical tap sums AND the DoG slice are computed in VMEM, and both land
+directly in the PADDED layout the window kernels consume — the separate
+pad and DoG passes vanish, and Gaussian levels 0/4/5 (whose only consumer
+is the DoG) are never written to HBM at all.
+
+Storage layout produced per octave (build_octave_padded):
+  gauss slots (5, H_pad, W_pad) = [L1, L2, L3, L4, L5]  (window kernels
+    index Gaussian level s at slot s-1; L4/L5 slots are chain scratch)
+  dog   slots (5, H_pad, W_pad) = [D0..D4], D_k = L_{k+1} - L_k
+
+Border semantics: the octave base is reflect-101 pre-extended into its pad
+ring once (reflect_pad_image); deeper levels inherit correct pad values
+inductively (blur o reflect-ext == reflect-ext o blur for symmetric
+kernels, within the taps' reach). Strip-edge tap wrap (rolls) only poisons
+outermost pad rows/cols no consumer reads. Tap order is ascending,
+matching ops.gaussian on the interior. Reference semantics:
+build_gaussian_scale_space / build_dog (lib.rs:213-279).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import SiftConfig
+from ..gaussian import cv_ksize, gaussian_kernel
+
+F32 = jnp.float32
+TILE = 64       # output rows per grid step
+LB_MAX = 1024   # lane-block width (Mosaic crashes on >=2048-lane roll chains)
+LHALO = 128     # lane halo per side when lane-blocked
+
+
+def _blur_strip(x, taps, r0, wb):
+    """Fused H+V tap sums on an (r0, wb) strip (ascending tap order)."""
+    r = len(taps) // 2
+    hsum = None
+    for j, t in enumerate(taps):
+        sh = (r - j) % wb                 # out[c] += t * x[c + j - r]
+        term = F32(t) * pltpu.roll(x, sh, axis=1)
+        hsum = term if hsum is None else hsum + term
+    vsum = None
+    for j, t in enumerate(taps):
+        sh = (r - j) % r0
+        term = F32(t) * pltpu.roll(hsum, sh, axis=0)
+        vsum = term if vsum is None else vsum + term
+    return vsum
+
+
+def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo):
+    if src_slot is None:          # first level: (base_in, g_out, d_out, ...)
+        in_hbm, gauss_ref, dog_ref, buf, sem = refs
+    else:                         # aliased: (g_in, d_in, g_out, d_out, ...)
+        in_hbm, _d_in, gauss_ref, dog_ref, buf, sem = refs
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = TILE + 2 * halo8
+    wb = lb + 2 * lhalo
+
+    start = jnp.clip(i * TILE - halo8, 0, h_pad - r0)
+    start = pl.multiple_of((start // 8) * 8, 8)
+    lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
+    lstart = pl.multiple_of((lstart // 128) * 128, 128)
+    if src_slot is None:
+        src = in_hbm.at[pl.ds(start, r0), pl.ds(lstart, wb)]
+    else:
+        src = in_hbm.at[src_slot, pl.ds(start, r0), pl.ds(lstart, wb)]
+    cp = pltpu.make_async_copy(src, buf, sem)
+    cp.start()
+    cp.wait()
+
+    # align buffer so logical (row i*TILE - halo8 + q, lane j*lb - lhalo + c)
+    # sits at (q, c)
+    ofs = (i * TILE - halo8) - start          # in [-halo8, +halo8]
+    x = pltpu.roll(buf[:, :], jnp.mod(-ofs, jnp.int32(r0)), axis=0)
+    lofs = (j * lb - lhalo) - lstart
+    x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
+
+    out = _blur_strip(x, taps, r0, wb)
+    rows = out[halo8:halo8 + TILE, lhalo:lhalo + lb]
+    gauss_ref[0, :, :] = rows
+    dog_ref[0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
+
+
+def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
+                n_slots: int, gd: tuple | None, interpret: bool):
+    """One blur level. src: base image (h_pad, w_pad) when gd is None (first
+    level; allocates the slot stacks), else reads gd[0][dst_slot-1]. Writes
+    gauss slot dst_slot and dog slot dst_slot in place (aliased)."""
+    taps = tuple(float(t) for t in gaussian_kernel(sigma, cv_ksize(sigma)))
+    halo8 = -(-(len(taps) // 2) // 8) * 8
+    nb = h_pad // TILE
+    if w_pad > 1536:  # single-block roll chains crash Mosaic at >=2048 lanes
+        lb, lhalo = LB_MAX, LHALO
+        assert w_pad % LB_MAX == 0, w_pad
+    else:
+        lb, lhalo = w_pad, 0
+    nlb = w_pad // lb
+    kernel = functools.partial(
+        _kernel, taps=taps, halo8=halo8, h_pad=h_pad, w_pad=w_pad,
+        src_slot=None if gd is None else dst_slot - 1, lb=lb, lhalo=lhalo)
+
+    blk = pl.BlockSpec((1, TILE, lb),
+                       lambda i, j: (dst_slot, i, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad), jnp.float32)] * 2
+    scratch = [pltpu.VMEM((TILE + 2 * halo8, lb + 2 * lhalo), jnp.float32),
+               pltpu.SemaphoreType.DMA]
+    if gd is None:
+        return pl.pallas_call(
+            kernel, grid=(nb, nlb),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[blk, blk], out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret)(src)
+    g, d = gd
+    return pl.pallas_call(
+        kernel, grid=(nb, nlb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[blk, blk], out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret)(g, d)
+
+
+def build_octave_padded(base_padded: jnp.ndarray, cfg: SiftConfig,
+                        interpret: bool = False):
+    """base_padded: (H_pad, W_pad) f32 octave base (Gaussian level 0) with a
+    reflect-extended pad ring, H_pad % 128 == 0, W_pad % 128 == 0. Returns
+    (gauss_slots, dog) both (5, H_pad, W_pad): gauss_slots[k] = level k+1,
+    dog[k] = level_{k+1} - level_k."""
+    h_pad, w_pad = base_padded.shape
+    sigmas = cfg.octave_sigmas()
+    n_slots = len(sigmas) - 1
+    gd = None
+    for k, sigma in enumerate(sigmas[1:]):
+        if gd is None:
+            # level 1 reads the base image; dog_0 = L1 - base
+            g, d = _call_level(base_padded, 0, sigma, h_pad, w_pad, n_slots,
+                               None, interpret)
+        else:
+            g, d = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
+                               interpret)
+        gd = (g, d)
+    return gd
+
+
+def reflect_pad_image(img: jnp.ndarray, pad: int, extra_right: int,
+                      extra_bottom: int = 0) -> jnp.ndarray:
+    """Reflect-101-extend (H, W) -> (H+2p+eb, W+2p+er) with zero fill in the
+    alignment rows/columns (never read by valid consumers)."""
+    from ..gaussian import _reflect101_pad
+
+    out = _reflect101_pad(img, pad, axis=0)
+    out = _reflect101_pad(out, pad, axis=1)
+    if extra_right or extra_bottom:
+        out = jnp.pad(out, ((0, extra_bottom), (0, extra_right)))
+    return out

@@ -100,6 +100,39 @@ def test_refine_kernel_matches_jnp():
     np.testing.assert_array_equal(out[a, 3], ref["step_x"][a].astype(np.float32))
 
 
+def test_pyramid_kernel_matches_jnp():
+    from sift_features_tpu.ops.gaussian import gaussian_blur
+    from sift_features_tpu.ops.pallas.pyramid_kernel import (
+        build_octave_padded, reflect_pad_image)
+
+    cfg = DEFAULT_CONFIG
+    rng = np.random.RandomState(3)
+    h, w = 200, 300
+    P = desc_ops.PAD_DESC
+    h_pad = -(-(h + 2 * P) // 128) * 128
+    w_pad = -(-(w + 2 * P) // 128) * 128
+    img = rng.rand(h, w).astype(np.float32)
+
+    base = reflect_pad_image(jnp.asarray(img), P, w_pad - w - 2 * P,
+                             h_pad - h - 2 * P)
+    g_slots, dog = build_octave_padded(base, cfg, interpret=True)
+    g_slots, dog = np.asarray(g_slots), np.asarray(dog)
+
+    ref = [jnp.asarray(img)]
+    for sig in cfg.octave_sigmas()[1:]:
+        ref.append(gaussian_blur(ref[-1], sig))
+    ref = [np.asarray(r) for r in ref]
+
+    sl = (slice(P, P + h), slice(P, P + w))
+    for lvl in range(1, 6):
+        np.testing.assert_allclose(g_slots[lvl - 1][sl], ref[lvl],
+                                   rtol=0, atol=3e-7,
+                                   err_msg=f"gauss level {lvl}")
+    for k in range(5):
+        np.testing.assert_allclose(dog[k][sl], ref[k + 1] - ref[k],
+                                   rtol=0, atol=6e-7, err_msg=f"dog {k}")
+
+
 def test_descriptor_kernel_matches_jnp():
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops.extrema import rust_round
