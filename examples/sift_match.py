@@ -65,8 +65,9 @@ def main():
                 for q, t, d in zip(cm.query_idx, cm.train_idx, cm.distance)]
     out = cv2.drawMatches(img2, ck2, img1, ck1, dmatches, None,
                           flags=cv2.DrawMatchesFlags_NOT_DRAW_SINGLE_POINTS)
-    cv2.imwrite(os.path.join(out_dir, "cv_matches.jpg"), out)
-    print(f"wrote cv_matches.jpg ({len(dmatches)} matches)")
+    path = os.path.join(out_dir, "cv_matches.jpg")
+    cv2.imwrite(path, out)
+    print(f"wrote {path} ({len(dmatches)} matches)")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,30 @@
-"""Aux subsystems: metrics, descriptor DB persistence, determinism."""
+"""Aux subsystems: metrics, descriptor DB persistence, runner recovery."""
 
 import numpy as np
+
+
+def test_batch_runner_retries_and_health():
+    import jax.numpy as jnp
+
+    from sift_features_tpu.parallel.runner import BatchRunner, barrier
+
+    calls = {"n": 0}
+
+    def flaky_step(frames):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second dispatch dies (simulated device loss)
+            raise RuntimeError("injected device failure")
+        return jnp.asarray(frames) * 2
+
+    runner = BatchRunner(flaky_step, max_retries=2, health_check_every=2)
+    batches = [(i, np.full((2, 2), i, np.float32)) for i in range(3)]
+    done = dict(runner.run(batches))
+    assert set(done) == {0, 1, 2}
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(done[i]), batches[i][1] * 2)
+    assert runner.retried == 1 and runner.completed == 3
+
+    assert barrier(timeout_s=30.0) >= 0.0
 
 from sift_features_tpu.config import DEFAULT_CONFIG
 from sift_features_tpu.io.database import DescriptorDB
