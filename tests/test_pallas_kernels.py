@@ -39,7 +39,8 @@ def test_orientation_kernel_matches_jnp(ori_case):
     cfg = DEFAULT_CONFIG
     hist_p = orientation_histograms_pallas(
         jnp.asarray(gp), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
-        jnp.asarray(ks), count, h, w, cfg, interpret=True)
+        jnp.asarray(ks), count, h, w, desc_ops.PAD_DESC, cfg,
+        interpret=True)
     valid = np.arange(len(s)) < count
     hist_j = ori_ops.orientation_histograms(
         jnp.asarray(gp), h, w, jnp.asarray(s), jnp.asarray(y),
@@ -162,7 +163,8 @@ def test_descriptor_kernel_matches_jnp():
     yi = np.asarray(rust_round(jnp.asarray(y))).astype(np.int32)
     hist = descriptor_hist_pallas(
         jnp.asarray(gp), jnp.asarray(s), jnp.asarray(xi), jnp.asarray(yi),
-        jnp.asarray(ks), jnp.asarray(ang), count, h, w, cfg, interpret=True)
+        jnp.asarray(ks), jnp.asarray(ang), count, h, w, desc_ops.PAD_DESC,
+        cfg, interpret=True)
     desc_p = np.asarray(desc_ops.finalize_descriptor(hist, cfg))
 
     desc_j = np.asarray(desc_ops.descriptor_batch(
