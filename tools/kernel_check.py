@@ -57,7 +57,7 @@ def main():
     # orientation
     hp = np.asarray(orientation_histograms_pallas(
         gp, jnp.asarray(s), jnp.asarray(y), jnp.asarray(x), jnp.asarray(ks),
-        count, h, w, cfg))
+        count, h, w, P, cfg))
     hj = np.asarray(ori_ops.orientation_histograms(
         gp, h, w, jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
         jnp.asarray(ks), jnp.asarray(valid), cfg, pad=P))
@@ -74,7 +74,7 @@ def main():
     yi = np.asarray(rust_round(jnp.asarray(yf))).astype(np.int32)
     hist = descriptor_hist_pallas(
         gp, jnp.asarray(s), jnp.asarray(xi), jnp.asarray(yi),
-        jnp.asarray(ks), jnp.asarray(ang), count, h, w, cfg)
+        jnp.asarray(ks), jnp.asarray(ang), count, h, w, P, cfg)
     desc_p = np.asarray(desc_ops.finalize_descriptor(hist, cfg))
     desc_j = np.asarray(desc_ops.descriptor_batch(
         gp, h, w, jnp.asarray(s), jnp.asarray(xf), jnp.asarray(yf),
