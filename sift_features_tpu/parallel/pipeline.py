@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import DEFAULT_CONFIG, SiftConfig
+from ..config import SiftConfig
 from ..models.extractor import _extract_single
 from .extract import _extract_single_spatial
 from .ring import _ring_body

@@ -23,7 +23,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 F32 = jnp.float32
 I32 = jnp.int32
