@@ -31,17 +31,41 @@ class Matches:
     distance: np.ndarray
 
 
+def _dot_qt_int8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
+    """Exact u8 descriptor dot products on the MXU int8 path.
+
+    u8 values don't fit int8, so shift: a.b = (a-128).(b-128)
+    + 128*(sum(a) + sum(b)) - 128*128*D, all exact in int32 (per-entry
+    products <= 127*128, summed over D=128 dims < 2^21)."""
+    d = a_u8.shape[1]
+    a8 = (a_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    b8 = (b_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    ab = jax.lax.dot_general(b8, a8, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    sa = jnp.sum(a_u8.astype(jnp.int32), axis=1)
+    sb = jnp.sum(b_u8.astype(jnp.int32), axis=1)
+    return ab + 128 * (sb[:, None] + sa[None, :]) - 128 * 128 * d
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _match_jit(d_train: jnp.ndarray, d_query: jnp.ndarray, cross_check: bool):
-    a = d_train.astype(jnp.float32)
-    b = d_query.astype(jnp.float32)
-    # squared L2 distance matrix (Q, T) on the MXU
-    aa = jnp.sum(a * a, axis=1)
-    bb = jnp.sum(b * b, axis=1)
-    ab = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-    d2 = bb[:, None] + aa[None, :] - 2.0 * ab
+    if d_train.dtype == jnp.uint8 and d_query.dtype == jnp.uint8:
+        # int8 MXU path: exact integer distances (SURVEY.md §7 — 'int8
+        # descriptors feed the MXU naturally')
+        aa = jnp.sum(jnp.square(d_train.astype(jnp.int32)), axis=1)
+        bb = jnp.sum(jnp.square(d_query.astype(jnp.int32)), axis=1)
+        ab = _dot_qt_int8(d_train, d_query)
+        d2 = (bb[:, None] + aa[None, :] - 2 * ab).astype(jnp.float32)
+    else:
+        a = d_train.astype(jnp.float32)
+        b = d_query.astype(jnp.float32)
+        # squared L2 distance matrix (Q, T) on the MXU
+        aa = jnp.sum(a * a, axis=1)
+        bb = jnp.sum(b * b, axis=1)
+        ab = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        d2 = bb[:, None] + aa[None, :] - 2.0 * ab
     d2 = jnp.maximum(d2, 0.0)
     best_train = jnp.argmin(d2, axis=1)            # per query
     best_d2 = jnp.min(d2, axis=1)
