@@ -119,6 +119,7 @@ struct BatchPool {
 
   std::vector<std::vector<uint8_t>> slots;  // one buffer per frame index
   std::vector<std::atomic<int>> done;       // 0 = pending, 1 = decoded, -1 = error
+  std::vector<std::atomic<int>> consumed;   // 1 once copied out (slot freed)
 
   std::atomic<int> next_job{0};
   std::vector<std::thread> workers;
@@ -130,10 +131,10 @@ struct BatchPool {
             int n_threads)
       : batch(batch_), h(h_), w(w_), luma(luma_),
         frame_bytes(static_cast<size_t>(h_) * w_),
-        slots(n), done(n) {
+        slots(n), done(n), consumed(n) {
     paths.reserve(n);
     for (int i = 0; i < n; ++i) paths.emplace_back(p[i]);
-    for (int i = 0; i < n; ++i) done[i].store(0);
+    for (int i = 0; i < n; ++i) { done[i].store(0); consumed[i].store(0); }
     const int nt = n_threads > 0 ? n_threads : 2;
     for (int t = 0; t < nt; ++t)
       workers.emplace_back([this] { this->work(); });
@@ -148,13 +149,21 @@ struct BatchPool {
       int dh = 0, dw = 0;
       const int rc = decode_gray_impl(paths[i].c_str(), slots[i].data(),
                                       &dh, &dw, h, w, luma);
-      done[i].store(rc == 0 ? 1 : -1);
+      {
+        // done[] must flip under mu: a store+notify between the consumer's
+        // false predicate check and its block would otherwise be a lost
+        // wakeup (the last frame of a batch never re-notifies).
+        std::lock_guard<std::mutex> lk(mu);
+        done[i].store(rc == 0 ? 1 : -1);
+      }
       cv.notify_all();
     }
   }
 
   // Copy batch b (frames b*batch .. min((b+1)*batch, n)) into out.
-  // Returns the number of frames copied, or -1 on decode error.
+  // Returns the number of frames copied, -1 on decode error, or -2 if the
+  // batch was already consumed (slots are freed after the first copy, so a
+  // second read would be from empty buffers).
   int next(int b, uint8_t* out) {
     const int n = static_cast<int>(paths.size());
     const int lo = b * batch;
@@ -166,10 +175,13 @@ struct BatchPool {
         if (done[i].load() == 0) return false;
       return true;
     });
+    for (int i = lo; i < hi; ++i)
+      if (consumed[i].load() != 0) return -2;
     for (int i = lo; i < hi; ++i) {
       if (done[i].load() < 0) return -1;
       std::memcpy(out + static_cast<size_t>(i - lo) * frame_bytes,
                   slots[i].data(), frame_bytes);
+      consumed[i].store(1);
       slots[i].clear();
       slots[i].shrink_to_fit();
     }

@@ -116,6 +116,11 @@ class BatchLoader:
         for b in range(len(self)):
             n = self._lib.sl_pool_next(
                 self._pool, b, out.ctypes.data_as(ctypes.c_void_p))
+            if n == -2:
+                raise RuntimeError(
+                    f"batch {b} already consumed: BatchLoader frees frame "
+                    "buffers after the first pass; create a new loader to "
+                    "iterate again")
             if n < 0:
                 raise IOError(f"decode failed in batch {b}")
             if n == 0:

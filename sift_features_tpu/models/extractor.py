@@ -252,7 +252,8 @@ def precompute(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _detect_describe_jit(octaves, dogs, cfg: SiftConfig):
-    def one_frame(octs, ds):
+    def one_frame(args):
+        octs, ds = args
         out = [_detect_octave(g, d, o, cfg)
                for o, (g, d) in enumerate(zip(octs, ds))]
         return {
@@ -264,7 +265,10 @@ def _detect_describe_jit(octaves, dogs, cfg: SiftConfig):
             "n_emitted": jnp.stack([r["n_emitted"] for r in out]),
         }
 
-    return jax.vmap(one_frame)(octaves, dogs)
+    # lax.map, NOT vmap: on TPU _detect_octave dispatches to manual-DMA
+    # Pallas kernels that must not be batch-transformed (same constraint as
+    # _extract_batch_jit).
+    return jax.lax.map(one_frame, (octaves, dogs))
 
 
 def extract_with_precomputed(octaves, dogs, config: SiftConfig = DEFAULT_CONFIG):

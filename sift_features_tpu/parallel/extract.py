@@ -68,7 +68,9 @@ def _build_octaves_spatial(seed_rows: jnp.ndarray, n_octaves: int,
     h = h_seed
     for _ in range(n_octaves):
         h_loc = h // n_space
-        sharded = (h % n_space == 0
+        # h % (2*n_space): h_loc must be EVEN, else the local ::2 downsample
+        # rows of odd-offset shards are not the globally even rows
+        sharded = (h % (2 * n_space) == 0
                    and all(h_loc >= cv_ksize(s) // 2 for s in sigmas[1:])
                    and h_loc >= 2)
         if sharded:

@@ -91,7 +91,8 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
 
     return {
         "kps": res["kps"], "desc": res["desc"], "valid": res["valid"],
-        "n_candidates": res["n_candidates"], "n_emitted": res["n_emitted"],
+        "n_candidates": res["n_candidates"], "n_survivors": res["n_survivors"],
+        "n_emitted": res["n_emitted"],
         "match_train": bt.reshape(B, K), "match_dist": bd.reshape(B, K),
         "match_keep": keep.reshape(B, K), "query_idx": top_idx,
     }
