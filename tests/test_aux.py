@@ -3,6 +3,10 @@
 import numpy as np
 
 
+import pytest
+
+
+@pytest.mark.smoke
 def test_batch_runner_retries_and_health():
     import jax.numpy as jnp
 

@@ -1,10 +1,14 @@
 """compact_indices vs np.nonzero ground truth (order, overflow, vmap)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from sift_features_tpu.utils.compact import compact_indices
+
+
+pytestmark = pytest.mark.smoke
 
 
 def _check(mask, cap, block=512):

@@ -2,8 +2,12 @@
 the reference demonstrates via OpenCV in examples/sift-match.rs:30-39."""
 
 import numpy as np
+import pytest
 
 from sift_features_tpu.ops.matcher import match_brute_force
+
+
+pytestmark = pytest.mark.smoke
 
 
 def _cv2_matches(d1, d2, cross_check=True):

@@ -81,6 +81,7 @@ def test_oracle_features_limit(bird_small_cv2):
     assert np.all(np.diff(kps[:, 4]) <= 0)
 
 
+@pytest.mark.smoke
 def test_rust_round():
     r = oracle.rust_round_f32
     assert r(np.float32(0.5)) == 1.0

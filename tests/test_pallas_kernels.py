@@ -101,6 +101,7 @@ def test_refine_kernel_matches_jnp():
     np.testing.assert_array_equal(out[a, 3], ref["step_x"][a].astype(np.float32))
 
 
+@pytest.mark.smoke
 def test_pyramid_kernel_matches_jnp():
     from sift_features_tpu.ops.gaussian import gaussian_blur
     from sift_features_tpu.ops.pallas.pyramid_kernel import (

@@ -1,12 +1,16 @@
 """Pyramid construction: JAX vs NumPy twin (bit-level) and vs OpenCV (ULP)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sift_features_tpu.config import DEFAULT_CONFIG as CFG
 from sift_features_tpu.ops import gaussian, pyramid, resize
 from sift_features_tpu.oracle import oracle
 from sift_features_tpu.oracle.processing import NumpyProcessing
+
+
+pytestmark = pytest.mark.smoke
 
 
 def test_kernel_matches_cv2():

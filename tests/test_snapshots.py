@@ -1,8 +1,12 @@
 """Golden fixture parsing (reference snapshots, src/snapshots/*.snap)."""
 
 import numpy as np
+import pytest
 
 from sift_features_tpu.io.snapshots import load_golden
+
+
+pytestmark = pytest.mark.smoke
 
 
 def test_load_bird_small(reference_root):
