@@ -39,7 +39,10 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
     Discrete-extrema density on natural images is ~0.1% of DoG cells; K gives
     ~5x headroom ((3HW)//192). Overflows are observable via the returned
     n_candidates / n_emitted counters."""
-    k = max(512, min(cfg.max_candidates_per_octave, (3 * h * w) // 192))
+    # cfg.max_candidates_per_octave is honored even below the 512 floor so
+    # overflow behavior (scan-order prefix truncation) is testable
+    k = min(cfg.max_candidates_per_octave,
+            max(512, (3 * h * w) // 192))
     k = -(-k // 128) * 128
     k2 = max(256, k // 4)
     m = min(cfg.max_keypoints_per_octave, max(256, k2))
@@ -78,9 +81,17 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         if padded is None:
             dog_p = gauss_padded[1:] - gauss_padded[:-1]
         b = cfg.image_border
-        mask = ext_ops.extrema_mask(
-            dog_p, cfg, bounds=(P + b, P + h - b, P + b, P + w - b))
-        s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
+        bounds = (P + b, P + h - b, P + b, P + w - b)
+        hp, wp = dog_p.shape[-2], dog_p.shape[-1]
+        if hp % 128 == 0 and (wp <= 1536 or wp % 1024 == 0):
+            # fused extrema + MXU bit-pack kernel; compaction on words
+            from ..ops.pallas.extrema_kernel import extrema_words
+
+            words = extrema_words(dog_p, bounds, cfg.scales_per_octave)
+            s0, y0, x0, valid, n_cand = ext_ops.find_candidates_words(words, K)
+        else:
+            mask = ext_ops.extrema_mask(dog_p, cfg, bounds=bounds)
+            s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
         ref = ext_ops.refine_tpu(dog_p, s0, y0, x0, valid, P, h, w, cfg)
         coord_off = P
     else:
@@ -106,10 +117,11 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     kp_scale = ori_ops.kp_scale_of(s, off_s, cfg)
 
     if use_pallas:
-        from ..ops.pallas.orientation_kernel import orientation_histograms_pallas
+        from ..ops.pallas.orientation_kernel import orientation_histograms_bucketed
 
-        hist = orientation_histograms_pallas(
-            gauss_padded, s - slot_off, y, x, kp_scale, n_surv, h, w, P, cfg)
+        hist = orientation_histograms_bucketed(
+            gauss_padded, s - slot_off, s, y, x, kp_scale, n_surv, h, w, P,
+            cfg)
     else:
         hist = ori_ops.orientation_histograms_blocked(
             gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
@@ -132,13 +144,13 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
     if use_pallas:
         from ..ops.extrema import rust_round
-        from ..ops.pallas.descriptor_kernel import descriptor_hist_pallas
+        from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
 
         xi = rust_round(x_oct).astype(jnp.int32)
         yi = rust_round(y_oct).astype(jnp.int32)
-        hist128 = descriptor_hist_pallas(
-            gauss_padded, kp_s - slot_off, xi, yi, kp_sc, kp_angle, n_emit,
-            h, w, P, cfg)
+        hist128 = descriptor_hist_bucketed(
+            gauss_padded, kp_s - slot_off, kp_s, xi, yi, kp_sc, kp_angle,
+            n_emit, h, w, P, cfg)
         descs = desc_ops.finalize_descriptor(hist128, cfg)
     else:
         descs = desc_ops.descriptor_batch_blocked(

@@ -81,9 +81,31 @@ def find_candidates(mask: jnp.ndarray, k_max: int):
     Returns (s, y, x) int32 arrays of shape (k_max,), valid mask, and the true
     count (for overflow detection). Row-major nonzero == the reference's
     scale-major (y, x) scan order (lib.rs:287-332)."""
+    from ..utils.compact import compact_indices_packed
+
     S, H, W = mask.shape
-    idx, valid, count = compact_indices(mask.ravel(), k_max)
+    if mask.size >= (1 << 20):   # image-scale masks: bit-packed compaction
+        idx, valid, count = compact_indices_packed(mask.ravel(), k_max)
+    else:
+        idx, valid, count = compact_indices(mask.ravel(), k_max)
     s = idx // (H * W) + 1  # mask dim 0 is scale-1
+    rem = idx % (H * W)
+    y = rem // W
+    x = rem % W
+    return s, y, x, valid, count
+
+
+def find_candidates_words(words: jnp.ndarray, k_max: int):
+    """find_candidates from the BIT-PACKED extremum mask produced by
+    ops.pallas.extrema_kernel.extrema_words: words (S, H, W//32) int32, bit
+    (s, y, 32w+j) = mask at (s, y, 32w+j). Emission order identical to
+    find_candidates on the equivalent bool mask (row-major)."""
+    from ..utils.compact import compact_words
+
+    S, H, W32 = words.shape
+    W = W32 * 32
+    idx, valid, count = compact_words(words.ravel(), k_max)
+    s = idx // (H * W) + 1  # word dim 0 is scale-1
     rem = idx % (H * W)
     y = rem // W
     x = rem % W

@@ -1,11 +1,20 @@
 """Pallas TPU kernel: raw 128-bin SIFT descriptor histograms per keypoint.
 
 Replaces the gather + one-hot-matmul inner loop of ops.descriptor on TPU:
-each grid step DMAs its keypoints' (81, 81) windows HBM->VMEM
-(double-buffered) and performs the rotate/trilinear accumulation as VPU
-masked reductions entirely in VMEM — the padded 6x6 accumulator's border
-cells are never computed (they are cropped by the reference anyway,
-lib.rs:950-952). Blocks wholly past the valid count are skipped.
+each grid step DMAs its keypoints' windows HBM->VMEM (double-buffered) and
+performs the rotate/trilinear accumulation as VPU masked reductions entirely
+in VMEM — the padded 6x6 accumulator's border cells are never computed (they
+are cropped by the reference anyway, lib.rs:950-952). Blocks wholly past the
+valid count are skipped.
+
+Window sizes are SCALE-BUCKETED: the descriptor radius round(3*scale*sqrt(2)
+*2.5) (lib.rs:800) is bounded by the keypoint's integer scale index s
+(kp_scale = 0.8*2^((s+off)/3)*2 with |off| < 0.5), so s=1/2/3 keypoints fit
+51/63/79-sample windows. descriptor_hist_bucketed partitions the batch by s
+and runs a statically-sized kernel per bucket — most keypoints are s=1 and
+pay ~40% of the full-window DMA + VPU cost. The lane DMA is also split into
+two 128-lane halves with the second fetched only when the window actually
+straddles it.
 
 Outputs RAW f32 histograms (M, 128); the normalization/quantization tail
 (chunks-of-4 order, clamp, 512-scale, u8 — lib.rs:950-990) runs outside via
@@ -27,62 +36,92 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import DEFAULT_CONFIG, SiftConfig
 from .util import atan2_f32, round_half_away
 from ..descriptor import R_DESC_MAX, DEG2RAD_F32
+from ...utils.compact import compact_indices
 
 F32 = jnp.float32
-WN = 2 * R_DESC_MAX + 3         # 81
-N_S = 2 * R_DESC_MAX + 1        # 79 sample grid side
 LANES = 128
 LANES_DMA = 256             # lane-aligned DMA width (window + <=127 shift)
-SUBL = -(-WN // 8) * 8 + 8      # window rows + up to 7 alignment rows
-BK = 8                          # keypoints per grid step
+BK = 8                      # keypoints per grid step
+
+# Scale-bucketed window radii: radius = round(10.6066*kp_scale) with
+# kp_scale < 1.6*2^((s+0.5)/3) => bounds 24 / 30 / 38 for s = 1 / 2 / 3.
+BUCKET_R = {1: 24, 2: 30, 3: 38}
+
+
+def _subl(wn: int) -> int:
+    return -(-wn // 8) * 8 + 8      # window rows + up to 7 alignment rows
 
 
 def _kernel(count_ref, s_ref, y_ref, x_ref,
             scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
-            n_hist, n_bins, lambda_descr, h, w, pad, w_pad):
+            n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max):
     blk = pl.program_id(0)
     base = blk * BK
-    n = N_S
+    wn = 2 * r_max + 3
+    subl = _subl(wn)
+    n = wn - 2
 
     def start_y(i):
-        return y_ref[i] + pad - R_DESC_MAX - 1
+        return y_ref[i] + pad - r_max - 1
 
     def start_x(i):
-        return x_ref[i] + pad - R_DESC_MAX - 1
+        return x_ref[i] + pad - r_max - 1
 
-    def dma(slot, k):
+    def copies(slot, k):
         # HBM slices must be tile-aligned (8 sublanes x 128 lanes) in both
-        # start and size: DMA the aligned (SUBL, LANES_DMA) superset and
-        # shift in-register afterwards (pltpu.roll). The lane start clamps
-        # at the right edge; the padding budget keeps the residual within
-        # LANES_DMA - WN.
+        # start and size: DMA the aligned superset and shift in-register
+        # afterwards (pltpu.roll). The second 128-lane half is only fetched
+        # when the rolled window actually reaches into it.
         i = base + k
         ys_al = pl.multiple_of((start_y(i) // 8) * 8, 8)
+        xs = start_x(i)
         xs_al = pl.multiple_of(
-            jnp.minimum((start_x(i) // 128) * 128, w_pad - LANES_DMA), 128)
-        return pltpu.make_async_copy(
-            gauss_hbm.at[s_ref[i],
-                         pl.ds(ys_al, SUBL),
-                         pl.ds(xs_al, LANES_DMA)],
-            win_ref.at[slot],
-            sem.at[slot])
+            jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA), 128)
+        need2 = (xs - xs_al) + wn > LANES
+        c1 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl), pl.ds(xs_al, LANES)],
+            win_ref.at[slot, :, 0:LANES], sem.at[slot, 0])
+        c2 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl),
+                         pl.ds(xs_al + LANES, LANES)],
+            win_ref.at[slot, :, LANES:LANES_DMA], sem.at[slot, 1])
+        return c1, c2, need2
+
+    def dma_start(slot, k):
+        c1, c2, need2 = copies(slot, k)
+        c1.start()
+
+        @pl.when(need2)
+        def _():
+            c2.start()
+
+    def dma_wait(slot, k):
+        c1, c2, need2 = copies(slot, k)
+        c1.wait()
+
+        @pl.when(need2)
+        def _():
+            c2.wait()
 
     @pl.when(base < count_ref[0])
     def _():
-        dma(0, 0).start()
+        dma_start(0, 0)
         for k in range(BK):
             slot = k % 2
             if k + 1 < BK:
-                dma(1 - slot, k + 1).start()
-            dma(slot, k).wait()
+                dma_start(1 - slot, k + 1)
+            dma_wait(slot, k)
             ys = start_y(base + k)
             xs = start_x(base + k)
             ro = ys - (ys // 8) * 8
             co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
             # compiled dynamic rolls mis-handle negative shifts for
             # >16-sublane arrays: always shift by the positive complement
-            win = pltpu.roll(win_ref[slot], jax.lax.rem(SUBL - ro, jnp.int32(SUBL)), axis=0)
-            win = pltpu.roll(win, jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)), axis=1)
+            win = pltpu.roll(win_ref[slot],
+                             jax.lax.rem(subl - ro, jnp.int32(subl)), axis=0)
+            win = pltpu.roll(win,
+                             jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)),
+                             axis=1)
             dx = win[1:1 + n, 2:2 + n] - win[1:1 + n, 0:n]
             dy = win[0:n, 1:1 + n] - win[2:2 + n, 1:1 + n]
 
@@ -101,8 +140,8 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             sin_s = jnp.sin(ori_rad) / hist_width
             cos_s = jnp.cos(ori_rad) / hist_width
 
-            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - R_DESC_MAX
-            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - R_DESC_MAX
+            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - r_max
+            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - r_max
             dyf = dyy.astype(F32)
             dxf = dxx.astype(F32)
             col_rot = dxf * cos_s - dyf * sin_s
@@ -175,17 +214,20 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         hist_ref[:, :] = jnp.zeros((BK, n_hist * n_hist * n_bins), F32)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
                            h: int, w: int, pad: int,
                            cfg: SiftConfig = DEFAULT_CONFIG,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           r_max: int = R_DESC_MAX):
     """Raw descriptor histograms via the Pallas kernel.
 
-    gauss_padded: (S+3, H+2P, W+2P) f32 with P >= R_DESC_MAX+1.
+    gauss_padded: (S+3, H+2P, W+2P) f32 with P >= r_max+1.
     s: (M,) int32 scale index; xi/yi: (M,) int32 rust_round'ed keypoint
     pixel coords; kp_scale/angle: (M,) f32; count: int32 valid prefix
-    length. Returns (M, 128) f32 raw histograms (finalize separately)."""
+    length. Every keypoint's dynamic radius round(10.6066*kp_scale) must be
+    <= r_max (guaranteed per scale bucket, see BUCKET_R). Returns (M, 128)
+    f32 raw histograms (finalize separately)."""
     M = s.shape[0]
     nb = -(-M // BK)
     padn = nb * BK - M
@@ -198,7 +240,7 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
     kernel = functools.partial(
         _kernel, n_hist=cfg.descriptor_n_histograms,
         n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
-        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2])
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x
@@ -209,8 +251,8 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
         out_specs=pl.BlockSpec((BK, D), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, SUBL, LANES_DMA), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _subl(2 * r_max + 3), LANES_DMA), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -226,3 +268,32 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
       pad1(kp_scale).reshape(nb, BK), pad1(angle).reshape(nb, BK),
       gauss_padded)
     return hist[:M]
+
+
+def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
+                             angle, count, h: int, w: int, pad: int,
+                             cfg: SiftConfig = DEFAULT_CONFIG,
+                             interpret: bool = False):
+    """Scale-bucketed descriptor histograms: partitions the (compacted)
+    keypoint batch by integer scale index and runs a right-sized kernel per
+    bucket (BUCKET_R), then restores the original row order. Exactly equal
+    to descriptor_hist_pallas(r_max=R_DESC_MAX) — the per-sample math is
+    identical, only dead window area is trimmed.
+
+    s_img: (M,) int32 Gaussian image index to sample (slot in gauss_padded);
+    s_level: (M,) int32 raw scale index in [1, 3] — the bucket key that
+    bounds kp_scale (s_img may be slot-offset, e.g. fused-pyramid layout)."""
+    M = s_img.shape[0]
+    lanes = jnp.arange(M, dtype=jnp.int32)
+    live = lanes < count
+    out = jnp.zeros((M, cfg.descriptor_size), F32)
+    for si, r_max in BUCKET_R.items():
+        maskb = live & (s_level == si)
+        idxb, validb, countb = compact_indices(maskb, M)
+        hb = descriptor_hist_pallas(
+            gauss_padded, s_img[idxb], xi[idxb], yi[idxb], kp_scale[idxb],
+            angle[idxb], countb, h, w, pad, cfg, interpret, r_max)
+        # rank of each original lane inside its bucket
+        rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
+        out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
+    return out

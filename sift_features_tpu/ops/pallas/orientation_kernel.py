@@ -7,6 +7,12 @@ intermediates, each grid step DMAs its candidates' windows HBM->VMEM
 reductions entirely in VMEM. Blocks wholly past the valid count are skipped
 via @pl.when, so cost scales with the real candidate count.
 
+Window sizes are SCALE-BUCKETED (see descriptor_kernel): the orientation
+radius round(4.5*kp_scale) (lib.rs:381-388) is bounded by the integer scale
+index, so s=1/2/3 candidates fit 21/27/33-sample windows; the bucketed
+wrapper partitions the batch by s. The lane DMA is split into two 128-lane
+halves with the second fetched only when the window straddles it.
+
 Candidate validity == lane index < count (the candidate buffers come from
 the order-preserving compaction, so valid lanes are exactly the leading
 `count` lanes).
@@ -29,64 +35,93 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import DEFAULT_CONFIG, SiftConfig
 from .util import atan2_f32, round_half_away
 from ..orientation import R_ORI_MAX
+from ...utils.compact import compact_indices
 
 F32 = jnp.float32
-WN = 2 * R_ORI_MAX + 3          # 2*16 + 3 = 35 (incl. gradient halo)
 LANES = 128
 LANES_DMA = 256             # lane-aligned DMA width (window + <=127 shift)
-SUBL = -(-WN // 8) * 8 + 8      # window rows + up to 7 alignment rows
-BK = 8                          # candidates per grid step
+BK = 8                      # candidates per grid step
+
+# radius = round(4.5*kp_scale) with kp_scale < 1.6*2^((s+0.5)/3)
+BUCKET_R_ORI = {1: 10, 2: 13, 3: 16}
+
+
+def _subl(wn: int) -> int:
+    return -(-wn // 8) * 8 + 8      # window rows + up to 7 alignment rows
 
 
 def _kernel(count_ref, s_ref, y_ref, x_ref,
             scale_blk, gauss_hbm, hist_ref, win_ref, sem, *, n_bins,
-            lambda_ori, h, w, pad, w_pad):
+            lambda_ori, h, w, pad, w_pad, r_max):
     blk = pl.program_id(0)
     base = blk * BK
-    n = WN - 2
+    wn = 2 * r_max + 3
+    subl = _subl(wn)
+    n = wn - 2
 
     def start_y(i):
-        return y_ref[i] + pad - R_ORI_MAX - 1
+        return y_ref[i] + pad - r_max - 1
 
     def start_x(i):
-        return x_ref[i] + pad - R_ORI_MAX - 1
+        return x_ref[i] + pad - r_max - 1
 
-    def dma(slot, k):
-        # HBM slices must be tile-aligned (8 sublanes x 128 lanes) in both
-        # start and size: DMA the aligned (SUBL, LANES_DMA) superset and
-        # shift in-register afterwards (pltpu.roll). The lane start clamps
-        # at the right edge; the padding budget keeps the residual within
-        # LANES_DMA - WN.
+    def copies(slot, k):
+        # Tile-aligned DMA superset + in-register shift (see
+        # descriptor_kernel._kernel for the alignment rules); second half
+        # fetched only when the window reaches into it.
         i = base + k
         ys_al = pl.multiple_of((start_y(i) // 8) * 8, 8)
+        xs = start_x(i)
         xs_al = pl.multiple_of(
-            jnp.minimum((start_x(i) // 128) * 128, w_pad - LANES_DMA), 128)
-        return pltpu.make_async_copy(
-            gauss_hbm.at[s_ref[i],
-                         pl.ds(ys_al, SUBL),
-                         pl.ds(xs_al, LANES_DMA)],
-            win_ref.at[slot],
-            sem.at[slot])
+            jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA), 128)
+        need2 = (xs - xs_al) + wn > LANES
+        c1 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl), pl.ds(xs_al, LANES)],
+            win_ref.at[slot, :, 0:LANES], sem.at[slot, 0])
+        c2 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl),
+                         pl.ds(xs_al + LANES, LANES)],
+            win_ref.at[slot, :, LANES:LANES_DMA], sem.at[slot, 1])
+        return c1, c2, need2
+
+    def dma_start(slot, k):
+        c1, c2, need2 = copies(slot, k)
+        c1.start()
+
+        @pl.when(need2)
+        def _():
+            c2.start()
+
+    def dma_wait(slot, k):
+        c1, c2, need2 = copies(slot, k)
+        c1.wait()
+
+        @pl.when(need2)
+        def _():
+            c2.wait()
 
     @pl.when(base < count_ref[0])
     def _():
-        dma(0, 0).start()
+        dma_start(0, 0)
 
         # static unroll over the block: DMA k+1 starts before computing k
         for k in range(BK):
             slot = k % 2
             if k + 1 < BK:
-                dma(1 - slot, k + 1).start()
+                dma_start(1 - slot, k + 1)
 
-            dma(slot, k).wait()
+            dma_wait(slot, k)
             ys = start_y(base + k)
             xs = start_x(base + k)
             ro = ys - (ys // 8) * 8
             co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
             # compiled dynamic rolls mis-handle negative shifts for
             # >16-sublane arrays: always shift by the positive complement
-            win = pltpu.roll(win_ref[slot], jax.lax.rem(SUBL - ro, jnp.int32(SUBL)), axis=0)
-            win = pltpu.roll(win, jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)), axis=1)
+            win = pltpu.roll(win_ref[slot],
+                             jax.lax.rem(subl - ro, jnp.int32(subl)), axis=0)
+            win = pltpu.roll(win,
+                             jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)),
+                             axis=1)
             dx = win[1:1 + n, 2:2 + n] - win[1:1 + n, 0:n]
             dy = win[0:n, 1:1 + n] - win[2:2 + n, 1:1 + n]
 
@@ -100,8 +135,8 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             radius = round_half_away(F32(3.0) * F32(lambda_ori) * kp_scale)
             gws = F32(-1.0) / (F32(2.0) * sigma * sigma)
 
-            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - R_ORI_MAX
-            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - R_ORI_MAX
+            dyy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) - r_max
+            dxx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) - r_max
             y_img = yi + dyy
             x_img = xi + dxx
             ok = ((jnp.abs(dyy).astype(F32) <= radius)
@@ -131,16 +166,30 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         hist_ref[:, :] = jnp.zeros((BK, n_bins), F32)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _smooth(raw):
+    """OpenCV's [1,4,6,4,1]/16 circular smoothing, applied once
+    (lib.rs:737-756)."""
+    rm2 = jnp.roll(raw, 2, axis=1)
+    rm1 = jnp.roll(raw, 1, axis=1)
+    rp1 = jnp.roll(raw, -1, axis=1)
+    rp2 = jnp.roll(raw, -2, axis=1)
+    return ((rm2 + rp2) * F32(1.0 / 16.0)
+            + (rm1 + rp1) * F32(4.0 / 16.0)
+            + raw * F32(6.0) / F32(16.0))
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
 def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
                                   h: int, w: int, pad: int,
                                   cfg: SiftConfig = DEFAULT_CONFIG,
-                                  interpret: bool = False):
-    """gauss_padded: (S+3, H+2P, W+2P) f32 (pad >= R_ORI_MAX+1).
+                                  interpret: bool = False,
+                                  r_max: int = R_ORI_MAX,
+                                  smooth: bool = True):
+    """gauss_padded: (S+3, H+2P, W+2P) f32 (pad >= r_max+1).
     s/y/x: (K,) int32 (compacted: lanes >= count are padding), kp_scale:
-    (K,) f32, count: int32 true candidate count. Returns smoothed (K, 36)
-    f32 histograms ([1,4,6,4,1]/16 circular smoothing applied outside the
-    kernel, lib.rs:737-756)."""
+    (K,) f32, count: int32 true candidate count. Every candidate's dynamic
+    radius round(4.5*kp_scale) must be <= r_max (guaranteed per scale
+    bucket, see BUCKET_R_ORI). Returns smoothed (K, 36) f32 histograms."""
     K = s.shape[0]
     nb = -(-K // BK)
     padn = nb * BK - K
@@ -152,7 +201,7 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
 
     kernel = functools.partial(
         _kernel, n_bins=n_bins, lambda_ori=cfg.lambda_ori,
-        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2])
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x
@@ -164,8 +213,8 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
         out_specs=pl.BlockSpec((BK, n_bins), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, SUBL, LANES_DMA), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _subl(2 * r_max + 3), LANES_DMA), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -182,10 +231,31 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
       gauss_padded)
 
     raw = raw[:K]
-    rm2 = jnp.roll(raw, 2, axis=1)
-    rm1 = jnp.roll(raw, 1, axis=1)
-    rp1 = jnp.roll(raw, -1, axis=1)
-    rp2 = jnp.roll(raw, -2, axis=1)
-    return ((rm2 + rp2) * F32(1.0 / 16.0)
-            + (rm1 + rp1) * F32(4.0 / 16.0)
-            + raw * F32(6.0) / F32(16.0))
+    return _smooth(raw) if smooth else raw
+
+
+def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
+                                    kp_scale, count, h: int, w: int, pad: int,
+                                    cfg: SiftConfig = DEFAULT_CONFIG,
+                                    interpret: bool = False):
+    """Scale-bucketed orientation histograms: partitions the candidate batch
+    by integer scale index and runs a right-sized kernel per bucket
+    (BUCKET_R_ORI), restoring original row order. Exactly equal to
+    orientation_histograms_pallas(r_max=R_ORI_MAX).
+
+    s_img: (K,) int32 Gaussian image index to sample; s_level: (K,) int32
+    raw scale index in [1, 3] — the bucket key bounding kp_scale."""
+    K = s_img.shape[0]
+    lanes = jnp.arange(K, dtype=jnp.int32)
+    live = lanes < count
+    n_bins = cfg.n_orientation_bins
+    out = jnp.zeros((K, n_bins), F32)
+    for si, r_max in BUCKET_R_ORI.items():
+        maskb = live & (s_level == si)
+        idxb, validb, countb = compact_indices(maskb, K)
+        hb = orientation_histograms_pallas(
+            gauss_padded, s_img[idxb], y[idxb], x[idxb], kp_scale[idxb],
+            countb, h, w, pad, cfg, interpret, r_max, False)
+        rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
+        out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
+    return _smooth(out)

@@ -4,12 +4,15 @@ batch (reference interpolate_extremum, lib.rs:508-603).
 The XLA path gathers (K, 3, 3, 3) DoG cubes per step; on TPU that gather is
 quasi-serial (measured 26 ms for 32k candidates at 1080p). Here each grid
 step DMAs its candidates' cube neighborhoods HBM->VMEM (tile-aligned
-(3, 16, 256) regions, all of a block's copies in flight together), extracts
-the 27 cube values via rolls + (1,1) slices into a (BK, 32) VMEM matrix, and
-solves the 3x3 Newton system VECTORIZED over the block. Candidate positions
-arrive as scalar prefetch; the surrounding lax loop (ops.extrema.refine_tpu)
-feeds each step's updated positions back in and skips blocks whose
-candidates have all converged/died via a per-block active-count prefetch.
+(3, 16, 128) regions — a second 128-lane half is fetched only for the ~2%
+of cubes that straddle a lane-block boundary — all of a block's copies in
+flight together), extracts the 27 cube values via rolls + (1,1) slices into
+a (BK, 32) VMEM matrix, and solves the 3x3 Newton system VECTORIZED over
+the block. Candidate positions arrive as scalar prefetch; the surrounding
+lax loop (ops.extrema.refine_tpu) feeds each step's updated positions back
+in, skips blocks whose candidates have all converged/died via a per-block
+active-count prefetch, and skips individual converged/dead candidates'
+DMAs via a per-candidate active prefetch.
 
 Output row layout (BK, 16) f32:
   0 ok | 1 step_s | 2 step_y | 3 step_x | 4 off_s | 5 off_y | 6 off_x |
@@ -34,29 +37,60 @@ ROWS = 16        # 8-aligned rows covering 3 cube rows + <=7 shift
 LANES_DMA = 256  # 128-aligned lanes covering 3 cube cols + <=127 shift
 
 
-def _kernel(active_ref, s_ref, y_ref, x_ref, dog_hbm, out_ref, buf, sem, *,
-            contrast_threshold, edge_threshold, scales_per_octave, w_pad):
+def _kernel(active_ref, s_ref, y_ref, x_ref, cand_ref, dog_hbm, out_ref, buf,
+            sem, *, contrast_threshold, edge_threshold, scales_per_octave,
+            w_pad):
     blk = pl.program_id(0)
     base = blk * BK
 
-    def dma(k):
+    def copies(k):
+        # 128-lane DMA halves: the 3-lane cube straddles a 128 boundary only
+        # when its first lane lands on offset >= 126, so the second half is
+        # fetched ~2% of the time (vs. an unconditional 256-lane fetch).
         i = base + k
         ys = y_ref[i] - 1
         xs = x_ref[i] - 1
         ys_al = pl.multiple_of((ys // 8) * 8, 8)
-        xs_al = pl.multiple_of(
-            jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA), 128)
-        return pltpu.make_async_copy(
+        xs_al = pl.multiple_of((xs // 128) * 128, 128)
+        need2 = (xs - xs_al) + 3 > 128
+        c1 = pltpu.make_async_copy(
             dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
-                       pl.ds(ys_al, ROWS), pl.ds(xs_al, LANES_DMA)],
-            buf.at[k], sem.at[k])
+                       pl.ds(ys_al, ROWS), pl.ds(xs_al, 128)],
+            buf.at[k, :, :, 0:128], sem.at[k, 0])
+        c2 = pltpu.make_async_copy(
+            dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
+                       pl.ds(ys_al, ROWS), pl.ds(xs_al + 128, 128)],
+            buf.at[k, :, :, 128:256], sem.at[k, 1])
+        return c1, c2, need2
+
+    def dma_start(k):
+        c1, c2, need2 = copies(k)
+        c1.start()
+
+        @pl.when(need2)
+        def _():
+            c2.start()
+
+    def dma_wait(k):
+        c1, c2, need2 = copies(k)
+        c1.wait()
+
+        @pl.when(need2)
+        def _():
+            c2.wait()
 
     @pl.when(active_ref[blk] > 0)
     def _():
+        # per-candidate DMA skip: converged/dead lanes (active 0) keep stale
+        # buffer contents; their outputs are discarded by the caller's masks
         for k in range(BK):
-            dma(k).start()
+            @pl.when(cand_ref[base + k] > 0)
+            def _(k=k):
+                dma_start(k)
         for k in range(BK):
-            dma(k).wait()
+            @pl.when(cand_ref[base + k] > 0)
+            def _(k=k):
+                dma_wait(k)
         # extract cubes -> M (BK, 32): scalar-reduce each cube value and
         # scatter it into its lane via one-hot fma (multi-offset concats are
         # not lowerable on Mosaic)
@@ -67,7 +101,7 @@ def _kernel(active_ref, s_ref, y_ref, x_ref, dog_hbm, out_ref, buf, sem, *,
             ys = y_ref[i] - 1
             xs = x_ref[i] - 1
             ro = ys - (ys // 8) * 8
-            co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
+            co = xs - (xs // 128) * 128
             row = jnp.zeros((1, 32), F32)
             j = 0
             for ds in range(3):
@@ -174,14 +208,14 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
         scales_per_octave=cfg.scales_per_octave, w_pad=w_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,   # blk_active, s, y, x
+        num_scalar_prefetch=5,   # blk_active, s, y, x, per-candidate active
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BK, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BK, 3, ROWS, LANES_DMA), jnp.float32),
-            pltpu.SemaphoreType.DMA((BK,)),
+            pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
 
@@ -195,5 +229,6 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
       # row clamp keeps the aligned 16-row DMA in-bounds even for dead lanes
       pad1(jnp.clip(y, 1, dog_padded.shape[1] - ROWS)).astype(jnp.int32),
       pad1(jnp.clip(x, 1, dog_padded.shape[2] - 2)).astype(jnp.int32),
+      pad1(active).astype(jnp.int32),
       dog_padded)
     return out[:K]

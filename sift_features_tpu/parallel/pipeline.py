@@ -58,13 +58,15 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
     resp = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
     K = queries_per_frame
     top_val, top_idx = jax.lax.top_k(resp, K)                      # (B, K)
+    # u8 end-to-end: the ring matcher takes the int8 MXU path and u8 blocks
+    # circulate the ring at 1/4 the f32 ICI traffic
     q_desc = jnp.take_along_axis(res["desc"], top_idx[..., None],
-                                 axis=1).astype(jnp.float32)       # (B, K, 128)
+                                 axis=1)                           # (B, K, 128)
     q_valid = jnp.isfinite(top_val)
 
     # Database: every valid descriptor of the batch, frame-major.
     N = res["desc"].shape[1]
-    t_desc = res["desc"].astype(jnp.float32)                       # (B, N, 128)
+    t_desc = res["desc"]                                           # (B, N, 128)
     t_valid = res["valid"]
     # Self-frame exclusion: frame-id tags ride the ring; same-tag pairs get
     # +inf distance inside the running-min updates (ring._ring_body).

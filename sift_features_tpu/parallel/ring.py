@@ -39,6 +39,28 @@ def _d2_block(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(qq[:, None] + tt[None, :] - 2.0 * qt, 0.0)
 
 
+def _d2_block_u8(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(Qd,128),(Td,128) u8 -> (Qd,Td) squared L2, int8 MXU path.
+
+    u8 values don't fit int8, so the dot is computed shifted:
+    q.t = (q-128).(t-128) + 128*(sum(q)+sum(t)) - 128^2*D, exact in int32
+    (ops.matcher._dot_qt_int8). Squared distances are < 255^2*128 < 2^24,
+    so the f32 cast is exact and the running-min updates match the f32 path
+    bit for bit."""
+    d = q.shape[1]
+    qi = q.astype(I32)
+    ti = t.astype(I32)
+    q8 = (qi - 128).astype(jnp.int8)
+    t8 = (ti - 128).astype(jnp.int8)
+    qt = jax.lax.dot_general(q8, t8, (((1,), (1,)), ((), ())),
+                             preferred_element_type=I32)
+    qt = qt + 128 * (jnp.sum(qi, axis=1)[:, None]
+                     + jnp.sum(ti, axis=1)[None, :]) - 128 * 128 * d
+    qq = jnp.sum(qi * qi, axis=1)
+    tt = jnp.sum(ti * ti, axis=1)
+    return jnp.maximum(qq[:, None] + tt[None, :] - 2 * qt, 0).astype(F32)
+
+
 def _ring_body(q, qv, t, tv, axis_name: str, n_shards: int, t_blk: int,
                q_tag=None, t_tag=None):
     """Per-device shard_map body. q:(Qd,128) qv:(Qd,) t:(Td,128) tv:(Td,).
@@ -59,8 +81,11 @@ def _ring_body(q, qv, t, tv, axis_name: str, n_shards: int, t_blk: int,
     owner = me
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
+    u8 = q.dtype == jnp.uint8 and t.dtype == jnp.uint8
     for _ in range(n_shards):
-        d2 = _d2_block(q, t)
+        # u8 descriptors ride the ring as-is (4x less ICI traffic) and hit
+        # the int8 MXU; distances are exactly equal to the f32 path
+        d2 = _d2_block_u8(q, t) if u8 else _d2_block(q, t)
         if q_tag is not None:
             d2 = jnp.where(t_tag[None, :] == q_tag[:, None], inf, d2)
         d2_rows = jnp.where(tv[None, :], d2, inf)       # invalid train never wins
@@ -122,8 +147,13 @@ def ring_match(d_train, d_query, mesh: Mesh, axis_name: str = "data",
     f32 host arrays. Returns (query_idx, train_idx, distance) numpy arrays for
     retained matches — identical to ops.matcher.match_brute_force."""
     n = mesh.shape[axis_name]
-    q = np.asarray(d_query, np.float32)
-    t = np.asarray(d_train, np.float32)
+    d_query = np.asarray(d_query)
+    d_train = np.asarray(d_train)
+    # u8 descriptors stay u8 end-to-end (int8 MXU ring); anything else f32
+    u8 = d_query.dtype == np.uint8 and d_train.dtype == np.uint8
+    dt = np.uint8 if u8 else np.float32
+    q = d_query.astype(dt, copy=False)
+    t = d_train.astype(dt, copy=False)
     Q, T = len(q), len(t)
     Qp = -(-max(Q, 1) // n) * n
     Tp = -(-max(T, 1) // n) * n
@@ -131,9 +161,9 @@ def ring_match(d_train, d_query, mesh: Mesh, axis_name: str = "data",
     qv[:Q] = True
     tv = np.zeros(Tp, bool)
     tv[:T] = True
-    qp = np.zeros((Qp, q.shape[1]), np.float32)
+    qp = np.zeros((Qp, q.shape[1]), dt)
     qp[:Q] = q
-    tp = np.zeros((Tp, t.shape[1]), np.float32)
+    tp = np.zeros((Tp, t.shape[1]), dt)
     tp[:T] = t
     bt, bd, keep = _ring_match_jit(qp, qv, tp, tv, mesh, axis_name, cross_check)
     bt, bd, keep = np.asarray(bt), np.asarray(bd), np.asarray(keep)

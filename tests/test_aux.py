@@ -61,3 +61,17 @@ def test_metrics_and_db(bird_small_cv2, tmp_path):
     k1a, _ = db3.frame(1)
     k1b, _ = back.frame(1)
     np.testing.assert_array_equal(k1a, k1b)
+
+
+@pytest.mark.smoke
+def test_scaling_model():
+    from sift_features_tpu.utils.scaling import projected_efficiency, step_traffic
+
+    tr = step_traffic(8, 14000, 1024, n_data=8)
+    assert tr.ring_bytes > 0 and tr.halo_bytes == 0
+    effs = [projected_efficiency(6.3, 4, 14000, 1024, n)["efficiency"]
+            for n in (2, 8, 64)]
+    assert all(0 < e <= 1 for e in effs)
+    assert effs[0] >= effs[1] >= effs[2]
+    # the >=80% multi-host target holds across the modeled range
+    assert effs[-1] >= 0.8

@@ -52,3 +52,26 @@ def test_compact_vmapped():
         assert int(count[i]) == len(t)
         k = min(256, len(t))
         np.testing.assert_array_equal(np.asarray(idx)[i][:k], t[:k])
+
+
+def test_compact_packed_matches_dense():
+    from sift_features_tpu.utils.compact import compact_indices, compact_indices_packed
+
+    rng = np.random.RandomState(7)
+    for n, p, cap in [(1 << 15, 0.001, 64), (1 << 15, 0.01, 512),
+                      (100000, 0.0005, 128), (4096, 0.5, 4096), (33, 1.0, 64)]:
+        mask = jnp.asarray(rng.rand(n) < p)
+        ia, va, ca = compact_indices(mask, cap)
+        ib, vb, cb = compact_indices_packed(mask, cap)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        assert int(ca) == int(cb)
+
+
+def test_compact_packed_overflow():
+    from sift_features_tpu.utils.compact import compact_indices_packed
+
+    mask = jnp.asarray(np.ones(1000, bool))
+    idx, valid, count = compact_indices_packed(mask, 64)
+    assert int(count) == 1000 and valid.all()
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(64))

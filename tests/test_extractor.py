@@ -70,3 +70,55 @@ def test_extractor_batch_consistency(bird_small_cv2):
     assert np.array_equal(np.asarray(res["kps"])[0][v[0]], k0)
     assert np.array_equal(np.asarray(res["kps"])[1][v[1]], k1)
     assert np.array_equal(np.asarray(res["desc"])[1][v[1]], d1)
+
+
+def test_capacity_overflow_prefix(bird_small_cv2):
+    """Candidate-capacity overflow drops the scan-order TAIL: the limited
+    run's keypoints must be a prefix of the full run's per-octave keypoint
+    list, the overflow must be observable via n_candidates > capacity, and
+    the truncated output must be deterministic."""
+    import dataclasses
+
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    img = bird_small_cv2[:128, :192]
+    full = extractor.extract_batch(img[None])
+    cfg_small = dataclasses.replace(DEFAULT_CONFIG,
+                                    max_candidates_per_octave=128)
+    lim = extractor.extract_batch(img[None], cfg_small)
+    lim2 = extractor.extract_batch(img[None], cfg_small)
+
+    nc_full = np.asarray(full["n_candidates"])[0]
+    nc_lim = np.asarray(lim["n_candidates"])[0]
+    # true candidate counts are reported unclamped -> overflow observable
+    np.testing.assert_array_equal(nc_full, nc_lim)
+    assert (nc_lim > 128).any(), "test image must overflow a 128 capacity"
+
+    # determinism of the truncated program
+    np.testing.assert_array_equal(np.asarray(lim["kps"]), np.asarray(lim2["kps"]))
+    np.testing.assert_array_equal(np.asarray(lim["desc"]), np.asarray(lim2["desc"]))
+
+    # per-octave PREFIX property: survivors come from the first 128
+    # candidates in scan order, so each octave's limited keypoints are the
+    # leading slice of the full run's. (Different buffer capacities change
+    # XLA reduction tiling, so angles may move by ~1 ULP — compare to 1e-3.)
+    ne_full = np.asarray(full["n_emitted"])[0]
+    ne_lim = np.asarray(lim["n_emitted"])[0]
+    assert (ne_lim <= ne_full).all()
+    def octave_blocks(res, cfg):
+        """Split the concatenated result rows back into per-octave lists."""
+        kps = np.asarray(res["kps"])[0]
+        valid = np.asarray(res["valid"])[0]
+        h, w = img.shape[0] * 2, img.shape[1] * 2
+        out, off = [], 0
+        for _ in range(len(np.asarray(res["n_emitted"])[0])):
+            M = extractor._octave_capacities(h, w, cfg)[2]
+            out.append(kps[off:off + M][valid[off:off + M]])
+            off += M
+            h, w = h // 2, w // 2
+        return out
+
+    for o, (a, b) in enumerate(zip(octave_blocks(lim, cfg_small),
+                                   octave_blocks(full, DEFAULT_CONFIG))):
+        np.testing.assert_allclose(a, b[:len(a)], rtol=0, atol=1e-3,
+                                   err_msg=f"octave {o} not a prefix")

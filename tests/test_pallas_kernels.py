@@ -179,3 +179,103 @@ def test_descriptor_kernel_matches_jnp():
     assert d.max() <= 1, d.max()
     assert (d > 0).mean() < 0.02, (d > 0).mean()
     assert (np.asarray(hist)[count:] == 0).all()
+
+
+def _bucket_scales(rng, s):
+    """kp_scale consistent with integer scale index s: 1.6 * 2^((s+off)/3)."""
+    off = (rng.rand(len(s)) - 0.5) * 0.999
+    return (1.6 * 2.0 ** ((s + off) / 3.0)).astype(np.float32)
+
+
+def test_orientation_bucketed_matches_jnp():
+    from sift_features_tpu.ops import orientation as ori_ops
+    from sift_features_tpu.ops.pallas.orientation_kernel import (
+        orientation_histograms_bucketed)
+
+    rng = np.random.RandomState(5)
+    h, w = 96, 128
+    gauss = rng.rand(6, h, w).astype(np.float32)
+    gp = jnp.asarray(np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(gauss))))
+    K, count = 8, 6
+    cfg = DEFAULT_CONFIG
+    s = np.array([1, 2, 3, 1, 1, 2, 1, 1], np.int32)
+    y = rng.randint(8, h - 8, K).astype(np.int32)
+    x = rng.randint(8, w - 8, K).astype(np.int32)
+    ks = _bucket_scales(rng, s)
+    ks[count:] = 0
+
+    buck = orientation_histograms_bucketed(
+        gp, jnp.asarray(s), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+        jnp.asarray(ks), count, h, w, desc_ops.PAD_DESC, cfg, interpret=True)
+    valid = np.arange(K) < count
+    ref = ori_ops.orientation_histograms(
+        gp, h, w, jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+        jnp.asarray(ks), jnp.asarray(valid), cfg, pad=desc_ops.PAD_DESC)
+    np.testing.assert_allclose(np.asarray(buck)[:count],
+                               np.asarray(ref)[:count], rtol=2e-4, atol=2e-5)
+    assert (np.asarray(buck)[count:] == 0).all()
+
+
+def test_descriptor_bucketed_matches_jnp():
+    from sift_features_tpu.ops.extrema import rust_round
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_bucketed)
+
+    rng = np.random.RandomState(6)
+    h, w = 128, 160
+    gauss = rng.rand(6, h, w).astype(np.float32)
+    gp = jnp.asarray(np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(gauss))))
+    M, count = 8, 7
+    cfg = DEFAULT_CONFIG
+    s = np.array([1, 2, 3, 1, 2, 1, 1, 1], np.int32)
+    x = (rng.rand(M) * (w - 20) + 10).astype(np.float32)
+    y = (rng.rand(M) * (h - 20) + 10).astype(np.float32)
+    ks = _bucket_scales(rng, s)
+    ang = (rng.rand(M) * 360).astype(np.float32)
+    ks[count:] = 0
+    xi = np.asarray(rust_round(jnp.asarray(x))).astype(np.int32)
+    yi = np.asarray(rust_round(jnp.asarray(y))).astype(np.int32)
+
+    buck = descriptor_hist_bucketed(
+        gp, jnp.asarray(s), jnp.asarray(s), jnp.asarray(xi), jnp.asarray(yi),
+        jnp.asarray(ks), jnp.asarray(ang), count, h, w, desc_ops.PAD_DESC,
+        cfg, interpret=True)
+    desc_p = np.asarray(desc_ops.finalize_descriptor(buck, cfg))
+
+    valid = np.arange(M) < count
+    desc_j = np.asarray(desc_ops.descriptor_batch(
+        gp, h, w, jnp.asarray(s), jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(ks), jnp.asarray(ang), jnp.asarray(valid), cfg))
+    d = np.abs(desc_p[:count].astype(np.int32) - desc_j[:count].astype(np.int32))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 0.02, (d > 0).mean()
+
+
+def test_extrema_kernel_matches_reduce_window():
+    from sift_features_tpu.ops import extrema as ext_ops
+    from sift_features_tpu.ops.pallas.extrema_kernel import extrema_words
+    from sift_features_tpu.utils.compact import compact_words
+
+    cfg = DEFAULT_CONFIG
+    rng = np.random.RandomState(8)
+    hp, wp = 128, 256
+    dog = (rng.randn(5, hp, wp) * 0.05).astype(np.float32)
+    P, h, w = 30, 60, 180
+    b = cfg.image_border
+    bounds = (P + b, P + h - b, P + b, P + w - b)
+
+    ref = np.asarray(ext_ops.extrema_mask(jnp.asarray(dog), cfg, bounds=bounds))
+    words = extrema_words(jnp.asarray(dog), bounds, 3, True)
+    words = np.asarray(words)
+    # unpack and compare bit-exactly
+    got = ((words[..., None] >> np.arange(32)) & 1).astype(bool)
+    got = got.reshape(3, hp, wp)
+    np.testing.assert_array_equal(got, ref)
+
+    # candidate emission order matches the bool-mask compaction
+    s1, y1, x1, v1, c1 = ext_ops.find_candidates(jnp.asarray(ref), 256)
+    s2, y2, x2, v2, c2 = ext_ops.find_candidates_words(jnp.asarray(words), 256)
+    assert int(c1) == int(c2)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

@@ -108,3 +108,18 @@ def test_extract_match_step_runs(bird_small_cv2):
     assert keep.any(), "rolled copies of the same image must cross-match"
     # matched pairs should be the shifted keypoint (distance small for many)
     assert np.asarray(res["valid"]).sum() > 0
+
+
+def test_ring_match_u8_equals_f32():
+    """u8 descriptors take the int8 MXU ring; retained matches and distances
+    must equal the f32 ring exactly (integer distances < 2^24 are f32-exact)."""
+    rng = np.random.RandomState(11)
+    d1 = rng.randint(0, 256, (131, 128)).astype(np.uint8)
+    d2 = rng.randint(0, 256, (77, 128)).astype(np.uint8)
+    mesh = make_mesh(n_data=4, n_space=1)
+    qi8, ti8, dist8 = ring_match(d1, d2, mesh)
+    qif, tif, distf = ring_match(d1.astype(np.float32),
+                                 d2.astype(np.float32), mesh)
+    np.testing.assert_array_equal(qi8, qif)
+    np.testing.assert_array_equal(ti8, tif)
+    np.testing.assert_array_equal(dist8, distf)
