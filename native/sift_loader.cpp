@@ -68,8 +68,16 @@ int decode_gray_impl(const char* path, uint8_t* out, int* h, int* w,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
 
+  // high bits of `luma` carry decode options (golden-parity experiments):
+  // bits 8-9: DCT method (0 islow, 1 ifast, 2 float); bit 10: plain
+  // (non-fancy) chroma upsampling. Low byte: luma mode.
+  const int opts = luma >> 8;
+  luma &= 0xff;
   const bool direct_gray = (luma == LUMA_JPEG_GRAY);
   cinfo.out_color_space = direct_gray ? JCS_GRAYSCALE : JCS_RGB;
+  const int dct = opts & 3;
+  cinfo.dct_method = dct == 1 ? JDCT_IFAST : (dct == 2 ? JDCT_FLOAT : JDCT_ISLOW);
+  if (opts & 4) cinfo.do_fancy_upsampling = FALSE;
   jpeg_start_decompress(&cinfo);
 
   const int width = static_cast<int>(cinfo.output_width);

@@ -50,12 +50,17 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
 
 
 def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
-                   cfg: SiftConfig, padded=None, hw=None):
+                   cfg: SiftConfig, padded=None, hw=None, row_range=None):
     """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W)
     — OR, when `padded` is given, pre-built padded stacks from the fused
     pyramid kernels: padded = (gauss_slots, dog_p, slot_off) where
     gauss_slots[k] holds Gaussian level k + slot_off and hw = (h, w) is the
     unpadded octave size.
+
+    row_range = (y0, y1) (possibly traced) restricts CANDIDATE rows to
+    [y0, y1) — the spatial-parallel path gives each space member its own
+    row band so detection work (not just the blurs) is sharded. Only the
+    XLA branch supports it (the Pallas extrema kernel needs static bounds).
 
     Returns dict of fixed-capacity (M,) keypoint fields + overflow counters.
     """
@@ -72,7 +77,7 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         gauss_padded = desc_ops.pad_stack_for_kernels(gauss)
     # Pallas kernels need the padded plane to cover a 256-lane aligned DMA
     use_pallas = (cfg.use_pallas and jax.devices()[0].platform == "tpu"
-                  and gauss_padded.shape[-1] >= 256)
+                  and gauss_padded.shape[-1] >= 256 and row_range is None)
 
     if use_pallas:
         # padded-coordinate detection: the DoG is formed in the padded
@@ -97,7 +102,13 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     else:
         if dog is None:
             dog = gauss[1:] - gauss[:-1]
-        mask = ext_ops.extrema_mask(dog, cfg)
+        if row_range is None:
+            mask = ext_ops.extrema_mask(dog, cfg)
+        else:
+            bnd = (jnp.maximum(b0 := cfg.image_border, row_range[0]),
+                   jnp.minimum(h - b0, row_range[1]),
+                   b0, w - b0)
+            mask = ext_ops.extrema_mask(dog, cfg, bounds=bnd)
         s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
         ref = ext_ops.refine(dog, s0, y0, x0, valid, cfg)
         coord_off = 0
@@ -173,6 +184,166 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     }
 
 
+def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
+    """Frame-batched single-octave detection on fused-pyramid padded stacks.
+
+    gauss_p/dog_p: (B, 5, H_pad, W_pad) (gauss slot k = level k+1). All
+    per-keypoint math is identical to _detect_octave — frames are batched
+    into ONE launch per Pallas kernel by concatenating per-frame candidate
+    buffers and indexing planes as frame*n_planes + scale, so kernel-launch
+    overhead is paid once per octave instead of once per frame."""
+    from ..ops.extrema import rust_round
+    from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
+    from ..ops.pallas.extrema_kernel import extrema_words_batched
+    from ..ops.pallas.orientation_kernel import orientation_histograms_bucketed
+
+    B, n_planes = gauss_p.shape[0], gauss_p.shape[1]
+    h, w = hw
+    hp, wp = dog_p.shape[-2], dog_p.shape[-1]
+    K, K2, M = _octave_capacities(h, w, cfg)
+    P = desc_ops.PAD_DESC
+    b = cfg.image_border
+    nb_ = cfg.n_orientation_bins
+
+    bounds = (P + b, P + h - b, P + b, P + w - b)
+    words = extrema_words_batched(dog_p, bounds, cfg.scales_per_octave)
+    s0, y0, x0, valid, n_cand = jax.vmap(
+        lambda ww: ext_ops.find_candidates_words(ww, K))(words)      # (B, K)
+
+    dog_flat = dog_p.reshape(B * n_planes, hp, wp)
+    poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K)
+    ref = ext_ops.refine_tpu(
+        dog_flat, s0.reshape(-1), y0.reshape(-1), x0.reshape(-1),
+        valid.reshape(-1), P, h, w, cfg, plane_off=poff_k)
+    keep = (ref["keep"] & valid.reshape(-1)).reshape(B, K)
+
+    # per-frame survivor compaction
+    sidx, svalid, n_surv = jax.vmap(
+        lambda m: compact_indices(m, K2))(keep)                      # (B, K2)
+
+    def g2(a):
+        return jnp.take_along_axis(a.reshape(B, K), sidx, axis=1)
+
+    s = g2(ref["s"])
+    y = g2(ref["y"]) - P
+    x = g2(ref["x"]) - P
+    off_s = g2(ref["off_s"])
+    off_y = g2(ref["off_y"])
+    off_x = g2(ref["off_x"])
+    resp = g2(ref["response"])
+    kp_scale = ori_ops.kp_scale_of(s, off_s, cfg)                    # (B, K2)
+
+    gauss_flat = gauss_p.reshape(B * n_planes, hp, wp)
+    poff_k2 = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K2)
+    live2 = svalid.reshape(-1)
+    hist = orientation_histograms_bucketed(
+        gauss_flat, (s - 1).reshape(-1) + poff_k2, s.reshape(-1),
+        y.reshape(-1), x.reshape(-1), kp_scale.reshape(-1),
+        jnp.sum(n_surv), h, w, P, cfg, live=live2)
+    angles, emit = ori_ops.orientation_peaks(hist, cfg)              # (B*K2, nb)
+    angles = angles.reshape(B, K2 * nb_)
+    emit = (emit.reshape(B, K2, nb_) & svalid[:, :, None]).reshape(B, K2 * nb_)
+
+    # per-frame (survivor, bin) emission compaction -> keypoint batch
+    eidx, evalid, n_emit = jax.vmap(
+        lambda m: compact_indices(m, M))(emit)                       # (B, M)
+    ci = eidx // nb_
+    kp_angle = jnp.where(evalid,
+                         jnp.take_along_axis(angles, eidx, axis=1), F32(0.0))
+
+    def gc(a):
+        return jnp.take_along_axis(a, ci, axis=1)
+
+    x_oct = gc(x.astype(F32)) + gc(off_x)
+    y_oct = gc(y.astype(F32)) + gc(off_y)
+    kp_sc = gc(kp_scale)
+    kp_resp = gc(resp)
+    kp_s = gc(s)
+
+    xi = rust_round(x_oct).astype(jnp.int32)
+    yi = rust_round(y_oct).astype(jnp.int32)
+    poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, M)
+    hist128 = descriptor_hist_bucketed(
+        gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
+        xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
+        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg,
+        live=evalid.reshape(-1))
+    descs = desc_ops.finalize_descriptor(hist128, cfg).reshape(B, M, -1)
+
+    osf = F32(2.0 ** octave)
+    dm = F32(cfg.delta_min)
+    kps = jnp.stack([
+        (x_oct * osf) * dm,
+        (y_oct * osf) * dm,
+        (kp_sc * osf) * dm,
+        kp_angle,
+        kp_resp,
+    ], axis=-1)
+    return {
+        "kps": kps, "desc": descs, "valid": evalid,
+        "n_candidates": n_cand, "n_survivors": n_surv, "n_emitted": n_emit,
+    }
+
+
+def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
+                         cfg: SiftConfig):
+    """Frame-batched TPU pipeline: every Pallas stage launches ONCE per
+    octave for the whole batch (vs. once per frame per octave under
+    lax.map) — grid-step and launch overhead dominate the small octaves on
+    this backend. Per-frame outputs are byte-identical to _extract_single's
+    (same kernels, same per-frame compaction order)."""
+    import dataclasses
+
+    B = imgs_u8.shape[0]
+    seeds = pyr_ops.create_seed_image(imgs_u8, cfg)                  # (B,h,w)
+    sigmas = cfg.octave_sigmas()
+    P = desc_ops.PAD_DESC
+    initial = seeds
+    out = []
+    for o in range(n_octaves):
+        h, w = initial.shape[-2], initial.shape[-1]
+        h_pad = -(-(h + 2 * P) // 128) * 128
+        w_pad = -(-(w + 2 * P) // 128) * 128
+        if w_pad > 1536:  # lane-blocked kernels need 1024-multiples
+            w_pad = -(-w_pad // 1024) * 1024
+        if h_pad >= 256 and w_pad >= 256:
+            from ..ops.pallas.pyramid_kernel import (
+                build_octave_padded_batched, reflect_pad_image)
+
+            base = jax.vmap(lambda im: reflect_pad_image(
+                im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(initial)
+            g, d = build_octave_padded_batched(base, cfg)
+            out.append(_detect_octave_batched(g, d, o, cfg, (h, w)))
+            sp = cfg.scales_per_octave
+            initial = g[:, sp - 1, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
+        else:
+            # tiny top octaves: per-frame XLA fallback (Pallas kernels must
+            # not run under lax.map's batching here anyway)
+            cfg_x = dataclasses.replace(cfg, use_pallas=False)
+
+            def one(im):
+                from ..ops.gaussian import gaussian_blur
+                from ..ops.resize import resize_nearest_half
+
+                levels = [im]
+                for sig in sigmas[1:]:
+                    levels.append(gaussian_blur(levels[-1], sig))
+                gauss = jnp.stack(levels, axis=0)
+                r = _detect_octave(gauss, None, o, cfg_x)
+                return r, resize_nearest_half(levels[len(levels) - 3])
+
+            res_o, initial = jax.lax.map(one, initial)
+            out.append(res_o)
+    return {
+        "kps": jnp.concatenate([r["kps"] for r in out], axis=1),
+        "desc": jnp.concatenate([r["desc"] for r in out], axis=1),
+        "valid": jnp.concatenate([r["valid"] for r in out], axis=1),
+        "n_candidates": jnp.stack([r["n_candidates"] for r in out], axis=1),
+        "n_survivors": jnp.stack([r["n_survivors"] for r in out], axis=1),
+        "n_emitted": jnp.stack([r["n_emitted"] for r in out], axis=1),
+    }
+
+
 def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
     """Full single-image pipeline (traced once per (H, W))."""
     seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]
@@ -227,6 +398,9 @@ def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _extract_batch_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
+    if cfg.use_pallas and jax.devices()[0].platform == "tpu":
+        # frame-batched fused path: one kernel launch per stage per octave
+        return _extract_batch_fused(imgs_u8, n_octaves, cfg)
     # lax.map (not vmap): each frame's ops are full-size dense kernels that
     # saturate the chip alone, and the Pallas kernels use manual DMA that
     # must not be batch-transformed.

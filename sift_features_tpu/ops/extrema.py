@@ -49,7 +49,9 @@ def extrema_mask(dog: jnp.ndarray, cfg: SiftConfig = DEFAULT_CONFIG,
     border = cfg.image_border
     if bounds is None and (H < 2 * border or W < 2 * border):
         return jnp.zeros((*lead, n_s, H, W), bool)
-    if bounds is not None and (bounds[1] <= bounds[0] or bounds[3] <= bounds[2]):
+    static_bounds = bounds is not None and all(
+        isinstance(b, (int, np.integer)) for b in bounds)
+    if static_bounds and (bounds[1] <= bounds[0] or bounds[3] <= bounds[2]):
         return jnp.zeros((*lead, n_s, H, W), bool)
 
     ndim = dog.ndim
@@ -242,15 +244,20 @@ def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG
 
 
 def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
-               h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG):
+               h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
+               plane_off=None):
     """TPU refinement loop driving the Pallas per-step kernel
     (ops.pallas.refine_kernel): same semantics as refine(), but positions are
     in PADDED stack coordinates and cube evaluation is a DMA'd vector kernel
     instead of an XLA gather. Blocks whose candidates have all converged or
-    died are skipped per step. Returned y/x are padded coords."""
+    died are skipped per step. Returned y/x are padded coords.
+
+    plane_off: optional (K,) int32 per-candidate plane offset added to the
+    scale index when indexing dog_padded — used when several frames' DoG
+    stacks are concatenated along dim 0 (offset = frame * planes_per_frame);
+    s0 and the returned s stay frame-local."""
     from .pallas.refine_kernel import refine_step_pallas
 
-    S = dog_padded.shape[0]  # S+2 dog slices
     border = cfg.image_border
     w_pad = dog_padded.shape[2]
 
@@ -258,11 +265,27 @@ def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
     K = s.shape[0]
     converged = jnp.zeros(K, bool)
     dead = ~valid
+
+    # scalar-prefetch operands live in SMEM (1 MB): chunk huge batched
+    # candidate sets into <=32k-lane kernel calls (5 i32 arrays x 32k = 640KB)
+    CHUNK = 32768
+
+    def _run_step(s_idx, y_, x_, act):
+        if K <= CHUNK:
+            return refine_step_pallas(dog_padded, s_idx, y_, x_, act,
+                                      w_pad, cfg)
+        return jnp.concatenate(
+            [refine_step_pallas(dog_padded, s_idx[i:i + CHUNK],
+                                y_[i:i + CHUNK], x_[i:i + CHUNK],
+                                act[i:i + CHUNK], w_pad, cfg)
+             for i in range(0, K, CHUNK)], axis=0)
+
     fields = None
     for _ in range(cfg.max_interpolation_steps):
         active = ~(converged | dead)
-        out = refine_step_pallas(dog_padded, s, y, x,
-                                 active.astype(jnp.int32), w_pad, cfg)
+        s_idx = s if plane_off is None else jnp.clip(
+            s, 1, cfg.scales_per_octave) + plane_off
+        out = _run_step(s_idx, y, x, active.astype(jnp.int32))
         ok_here = out[:, 0] > 0
         newly = active & ok_here
         converged |= newly

@@ -273,7 +273,7 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
 def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
                              angle, count, h: int, w: int, pad: int,
                              cfg: SiftConfig = DEFAULT_CONFIG,
-                             interpret: bool = False):
+                             interpret: bool = False, live=None):
     """Scale-bucketed descriptor histograms: partitions the (compacted)
     keypoint batch by integer scale index and runs a right-sized kernel per
     bucket (BUCKET_R), then restores the original row order. Exactly equal
@@ -282,10 +282,13 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
 
     s_img: (M,) int32 Gaussian image index to sample (slot in gauss_padded);
     s_level: (M,) int32 raw scale index in [1, 3] — the bucket key that
-    bounds kp_scale (s_img may be slot-offset, e.g. fused-pyramid layout)."""
+    bounds kp_scale (s_img may be slot-offset, e.g. fused-pyramid layout).
+    live: optional (M,) bool validity mask replacing the default
+    lane < count prefix (used when several frames' prefix-valid buffers are
+    concatenated)."""
     M = s_img.shape[0]
-    lanes = jnp.arange(M, dtype=jnp.int32)
-    live = lanes < count
+    if live is None:
+        live = jnp.arange(M, dtype=jnp.int32) < count
     out = jnp.zeros((M, cfg.descriptor_size), F32)
     for si, r_max in BUCKET_R.items():
         maskb = live & (s_level == si)

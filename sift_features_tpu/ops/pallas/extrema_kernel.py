@@ -60,9 +60,14 @@ def _roll2(x, sub, lane, r0, wb):
 
 
 def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
-            lb, lhalo, bounds, n_scales):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+            lb, lhalo, bounds, n_scales, batched=False):
+    if batched:                   # leading frame grid dim (B, ni, nj)
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
     wb = lb + 2 * lhalo
     r0 = ROWS_DMA
 
@@ -70,19 +75,21 @@ def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
     start = pl.multiple_of((start // 8) * 8, 8)
     lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
     lstart = pl.multiple_of((lstart // 128) * 128, 128)
+
+    def src(p):
+        if batched:
+            return dog_hbm.at[f, p, pl.ds(start, r0), pl.ds(lstart, wb)]
+        return dog_hbm.at[p, pl.ds(start, r0), pl.ds(lstart, wb)]
+
     for p in range(n_planes):
-        pltpu.make_async_copy(
-            dog_hbm.at[p, pl.ds(start, r0), pl.ds(lstart, wb)],
-            buf.at[p], sem.at[p]).start()
+        pltpu.make_async_copy(src(p), buf.at[p], sem.at[p]).start()
 
     # logical (mask row i*TILE - 1 + q, lane j*lb - lhalo + c) -> (q, c)
     rofs = (i * TILE - 1) - start
     lofs = (j * lb - lhalo) - lstart
     planes = []
     for p in range(n_planes):
-        pltpu.make_async_copy(
-            dog_hbm.at[p, pl.ds(start, r0), pl.ds(lstart, wb)],
-            buf.at[p], sem.at[p]).wait()
+        pltpu.make_async_copy(src(p), buf.at[p], sem.at[p]).wait()
         x = pltpu.roll(buf[p], jnp.mod(-rofs, jnp.int32(r0)), axis=0)
         x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
         planes.append(x)
@@ -116,7 +123,10 @@ def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
                                preferred_element_type=F32)   # (TILE, lb/32)
             part = part.astype(jnp.int32) << (8 * byte)
             words = part if words is None else words | part
-        out_ref[s - 1, :, :] = words
+        if batched:
+            out_ref[0, s - 1, :, :] = words
+        else:
+            out_ref[s - 1, :, :] = words
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -162,3 +172,45 @@ def extrema_words(dog_padded: jnp.ndarray, bounds: tuple, n_scales: int = 3,
     # (ni*nj*TILE, nw) row blocks -> logical (H_pad, W_pad/32) word rows
     out = out.reshape(n_scales, ni, nj, TILE, nw).swapaxes(2, 3)
     return out.reshape(n_scales, h_pad, w_pad // 32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extrema_words_batched(dog_padded: jnp.ndarray, bounds: tuple,
+                          n_scales: int = 3,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batched extrema_words: (B, S+2, H_pad, W_pad) ->
+    (B, n_scales, H_pad, W_pad // 32); one launch covers all frames."""
+    batch, n_planes, h_pad, w_pad = dog_padded.shape
+    if w_pad > 1536:
+        lb, lhalo = LB_MAX, LHALO
+        assert w_pad % LB_MAX == 0, w_pad
+    else:
+        lb, lhalo = w_pad, 0
+    nj = w_pad // lb
+    ni = h_pad // TILE
+    nw = lb // 32
+
+    kernel = functools.partial(
+        _kernel, n_planes=n_planes, h_pad=h_pad, w_pad=w_pad, lb=lb,
+        lhalo=lhalo, bounds=tuple(int(b) for b in bounds),
+        n_scales=n_scales, batched=True)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, ni, nj),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],   # selector
+        out_specs=pl.BlockSpec((1, n_scales, TILE, nw),
+                               lambda f, i, j: (f, 0, i * nj + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, n_scales, ni * nj * TILE, nw),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, ROWS_DMA, lb + 2 * lhalo), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_planes,)),
+        ],
+        interpret=interpret,
+    )(dog_padded, jnp.asarray(_sel_matrix(lb)))
+
+    out = out.reshape(batch, n_scales, ni, nj, TILE, nw).swapaxes(3, 4)
+    return out.reshape(batch, n_scales, h_pad, w_pad // 32)

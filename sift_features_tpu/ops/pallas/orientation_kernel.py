@@ -237,17 +237,18 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
 def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
                                     kp_scale, count, h: int, w: int, pad: int,
                                     cfg: SiftConfig = DEFAULT_CONFIG,
-                                    interpret: bool = False):
+                                    interpret: bool = False, live=None):
     """Scale-bucketed orientation histograms: partitions the candidate batch
     by integer scale index and runs a right-sized kernel per bucket
     (BUCKET_R_ORI), restoring original row order. Exactly equal to
     orientation_histograms_pallas(r_max=R_ORI_MAX).
 
     s_img: (K,) int32 Gaussian image index to sample; s_level: (K,) int32
-    raw scale index in [1, 3] — the bucket key bounding kp_scale."""
+    raw scale index in [1, 3] — the bucket key bounding kp_scale. live:
+    optional (K,) bool validity mask replacing the lane < count prefix."""
     K = s_img.shape[0]
-    lanes = jnp.arange(K, dtype=jnp.int32)
-    live = lanes < count
+    if live is None:
+        live = jnp.arange(K, dtype=jnp.int32) < count
     n_bins = cfg.n_orientation_bins
     out = jnp.zeros((K, n_bins), F32)
     for si, r_max in BUCKET_R_ORI.items():

@@ -58,13 +58,19 @@ def _blur_strip(x, taps, r0, wb):
     return vsum
 
 
-def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo):
+def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
+            batched=False):
     if src_slot is None:          # first level: (base_in, g_out, d_out, ...)
         in_hbm, gauss_ref, dog_ref, buf, sem = refs
     else:                         # aliased: (g_in, d_in, g_out, d_out, ...)
         in_hbm, _d_in, gauss_ref, dog_ref, buf, sem = refs
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    if batched:                   # leading frame grid dim (B, nb, nlb)
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
     r0 = TILE + 2 * halo8
     wb = lb + 2 * lhalo
 
@@ -72,7 +78,12 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo):
     start = pl.multiple_of((start // 8) * 8, 8)
     lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
     lstart = pl.multiple_of((lstart // 128) * 128, 128)
-    if src_slot is None:
+    if batched:
+        if src_slot is None:
+            src = in_hbm.at[f, pl.ds(start, r0), pl.ds(lstart, wb)]
+        else:
+            src = in_hbm.at[f, src_slot, pl.ds(start, r0), pl.ds(lstart, wb)]
+    elif src_slot is None:
         src = in_hbm.at[pl.ds(start, r0), pl.ds(lstart, wb)]
     else:
         src = in_hbm.at[src_slot, pl.ds(start, r0), pl.ds(lstart, wb)]
@@ -89,15 +100,22 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo):
 
     out = _blur_strip(x, taps, r0, wb)
     rows = out[halo8:halo8 + TILE, lhalo:lhalo + lb]
-    gauss_ref[0, :, :] = rows
-    dog_ref[0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
+    if batched:
+        gauss_ref[0, 0, :, :] = rows
+        dog_ref[0, 0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
+    else:
+        gauss_ref[0, :, :] = rows
+        dog_ref[0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
 
 
 def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
-                n_slots: int, gd: tuple | None, interpret: bool):
+                n_slots: int, gd: tuple | None, interpret: bool,
+                batch: int | None = None):
     """One blur level. src: base image (h_pad, w_pad) when gd is None (first
     level; allocates the slot stacks), else reads gd[0][dst_slot-1]. Writes
-    gauss slot dst_slot and dog slot dst_slot in place (aliased)."""
+    gauss slot dst_slot and dog slot dst_slot in place (aliased). With
+    `batch`, arrays carry a leading frame dim (B, ...) and the grid gains a
+    frame axis — one launch covers the whole batch."""
     taps = tuple(float(t) for t in gaussian_kernel(sigma, cv_ksize(sigma)))
     halo8 = -(-(len(taps) // 2) // 8) * 8
     nb = h_pad // TILE
@@ -109,22 +127,33 @@ def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
     nlb = w_pad // lb
     kernel = functools.partial(
         _kernel, taps=taps, halo8=halo8, h_pad=h_pad, w_pad=w_pad,
-        src_slot=None if gd is None else dst_slot - 1, lb=lb, lhalo=lhalo)
+        src_slot=None if gd is None else dst_slot - 1, lb=lb, lhalo=lhalo,
+        batched=batch is not None)
 
-    blk = pl.BlockSpec((1, TILE, lb),
-                       lambda i, j: (dst_slot, i, j), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad), jnp.float32)] * 2
+    if batch is None:
+        grid = (nb, nlb)
+        blk = pl.BlockSpec((1, TILE, lb), lambda i, j: (dst_slot, i, j),
+                           memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad),
+                                          jnp.float32)] * 2
+    else:
+        grid = (batch, nb, nlb)
+        blk = pl.BlockSpec((1, 1, TILE, lb),
+                           lambda f, i, j: (f, dst_slot, i, j),
+                           memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((batch, n_slots, h_pad, w_pad),
+                                          jnp.float32)] * 2
     scratch = [pltpu.VMEM((TILE + 2 * halo8, lb + 2 * lhalo), jnp.float32),
                pltpu.SemaphoreType.DMA]
     if gd is None:
         return pl.pallas_call(
-            kernel, grid=(nb, nlb),
+            kernel, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[blk, blk], out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret)(src)
     g, d = gd
     return pl.pallas_call(
-        kernel, grid=(nb, nlb),
+        kernel, grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blk, blk], out_shape=out_shape,
@@ -151,6 +180,26 @@ def build_octave_padded(base_padded: jnp.ndarray, cfg: SiftConfig,
         else:
             g, d = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
                                interpret)
+        gd = (g, d)
+    return gd
+
+
+def build_octave_padded_batched(base_padded: jnp.ndarray, cfg: SiftConfig,
+                                interpret: bool = False):
+    """Batched build_octave_padded: base_padded (B, H_pad, W_pad) ->
+    (gauss_slots, dog) both (B, 5, H_pad, W_pad). One kernel launch per
+    level covers the whole frame batch (frame axis on the grid)."""
+    batch, h_pad, w_pad = base_padded.shape
+    sigmas = cfg.octave_sigmas()
+    n_slots = len(sigmas) - 1
+    gd = None
+    for k, sigma in enumerate(sigmas[1:]):
+        if gd is None:
+            g, d = _call_level(base_padded, 0, sigma, h_pad, w_pad, n_slots,
+                               None, interpret, batch=batch)
+        else:
+            g, d = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
+                               interpret, batch=batch)
         gd = (g, d)
     return gd
 

@@ -103,11 +103,22 @@ def _build_octaves_spatial(seed_rows: jnp.ndarray, n_octaves: int,
 
 def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
                             cfg: SiftConfig, n_space: int):
-    """Single-frame pipeline with the pyramid row-sharded over 'space'.
-    Runs inside shard_map; detection/description run replicated per space
-    member on the gathered stacks (outputs are space-invariant)."""
+    """Single-frame pipeline with the pyramid row-sharded over 'space' AND
+    detection work sharded by row band: each space member scans, refines,
+    orients and describes ONLY the candidates whose discrete extremum lies
+    in its own rows (the gathered stack provides the window context), so
+    the per-candidate stages run at 1/n_space cost per member. Runs inside
+    shard_map; returns this MEMBER's keypoint buffers (space-variant —
+    concatenating members' valid rows gives the n_space=1 keypoint SET;
+    order is member-major per octave instead of global scan order).
+
+    Detection uses the XLA kernels (the Pallas extrema kernel needs static
+    scan bounds; the member's row band is a traced axis_index function)."""
+    import dataclasses
+
     from ..models.extractor import _detect_octave
 
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
     seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]   # replicated
     h_seed, w_seed = seed.shape
     h_loc = h_seed // n_space
@@ -117,8 +128,12 @@ def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
     octs = _build_octaves_spatial(seed_rows, n_octaves, cfg, n_space, h_seed)
     out = []
     for o, gauss in enumerate(octs):
-        dog = gauss[1:] - gauss[:-1]
-        out.append(_detect_octave(gauss, dog, o, cfg))
+        h = gauss.shape[-2]
+        hb = -(-h // n_space)                 # member band = ceil split
+        y0 = idx * hb
+        r = _detect_octave(gauss, gauss[1:] - gauss[:-1], o, cfg_x,
+                           row_range=(y0, jnp.minimum(y0 + hb, h)))
+        out.append(r)
     return {
         "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
         "desc": jnp.concatenate([r["desc"] for r in out], axis=0),

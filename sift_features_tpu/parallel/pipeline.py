@@ -43,15 +43,25 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
                 return _extract_single_spatial(im, n_octaves, cfg, n_space)
             return _extract_single(im, n_octaves, cfg)
 
-        return jax.lax.map(one, im_shard)
+        res = jax.lax.map(one, im_shard)
+        # per-band stage counters are additive over the space axis
+        for k in ("n_candidates", "n_survivors", "n_emitted"):
+            res[k] = jax.lax.psum(res[k], "space")
+        return res
 
-    # check_vma=False: the spatial path's detection outputs ARE replicated
-    # over 'space' (they're computed from row-all_gathered stacks), but the
-    # axis_index-based row slicing defeats static replication inference.
+    # keypoint buffers are space-VARIANT (each member detects its own row
+    # band); members' valid rows concatenate along the keypoint axis.
+    # Counters are psum'd, hence space-replicated.
+    out_specs = {
+        "kps": P("data", "space"), "desc": P("data", "space"),
+        "valid": P("data", "space"),
+        "n_candidates": P("data"), "n_survivors": P("data"),
+        "n_emitted": P("data"),
+    }
     res = jax.shard_map(
         extract_body, mesh=mesh,
         in_specs=P("data", None, None),
-        out_specs=P("data"), check_vma=(n_space == 1))(imgs_u8)
+        out_specs=out_specs, check_vma=False)(imgs_u8)
 
     # Build the query set: top-K keypoints per frame by response (fixed K for
     # static shapes; invalid lanes have response 0 and are masked).

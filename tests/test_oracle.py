@@ -6,11 +6,20 @@ Two independent cross-checks:
     detection/orientation math must agree to ~1e-3 px; OpenCV reports size 2x).
  2. vs the reference crate's committed snapshot goldens, as a correspondence
     test. Byte-exactness vs the goldens is unattainable in this environment:
-    the goldens bake in zune-jpeg decode + the author's OpenCV 4.x build
-    (SIMD/FMA accumulation), both of which differ here at the ±1-gray-level /
-    few-ULP level. Measured attribution: running the SAME pipeline on two gray
-    decodes that differ by mean 1.8 levels already drops correspondence to
-    ~89%, which fully explains the golden gap. See tests' thresholds.
+    the goldens bake in zune-jpeg decode (image 0.25.2) whose exact IDCT /
+    upsampling rounding cannot be reproduced here (no crate source, zero
+    egress). FIRST-DIVERGENCE ATTRIBUTION (round 2): the divergence is
+    entirely at STAGE 0 (decoded u8 pixels) —
+      * same pipeline + same decoder (test 1): 99.1% (bird) / 100.0% (tree)
+        keypoint-exact at 1e-3 px vs this machine's cv2.SIFT;
+      * goldens (identical pipeline semantics, different decoder): a sweep
+        of libjpeg decode knobs (DCT islow/ifast/float x fancy/plain chroma
+        upsampling, native/sift_loader.cpp options bits) moves bird_small
+        correspondence 84.4-88.4% and tree_small 91.3-93.1%, with no
+        consistent winner — i.e. ±1-gray-level decoder noise alone moves
+        correspondence by several points, fully covering the gap;
+      * round-1 control: re-running the SAME pipeline on two decodes that
+        differ by mean 1.8 gray levels drops self-correspondence to ~89%.
 """
 
 import numpy as np
@@ -46,7 +55,10 @@ def test_oracle_matches_cv2_sift(bird_small_cv2, oracle_result_cv2gray):
             desc_dists.append(np.linalg.norm(
                 desc[j].astype(np.float32) - cdesc[i].astype(np.float32)))
     frac = matched / len(carr)
-    assert frac >= 0.97, f"only {matched}/{len(carr)} cv2.SIFT keypoints reproduced"
+    # measured 99.1% on bird_small / 100% on tree_small (tools/parity_gap.py);
+    # residuals attributed: one 1e-3-px tolerance edge, one marginal Newton
+    # convergence difference on a single keypoint
+    assert frac >= 0.985, f"only {matched}/{len(carr)} cv2.SIFT keypoints reproduced"
     # descriptors: cv2 uses fastAtan2 (~0.3 deg error) so bytes differ slightly,
     # but the vectors must be the same feature (inter-feature L2 is ~450).
     assert np.median(desc_dists) < 30, np.median(desc_dists)
@@ -70,7 +82,7 @@ def test_oracle_golden_correspondence(bird_small, reference_root):
             desc_l2.append(np.linalg.norm(
                 desc[j].astype(np.float32) - g_desc[gi].astype(np.float32)))
     frac = corr / len(g_kps)
-    assert frac >= 0.80, f"golden correspondence {frac:.3f}"
+    assert frac >= 0.84, f"golden correspondence {frac:.3f}"
     assert np.median(desc_l2) < 30  # same feature; inter-feature distance ~450
 
 
@@ -91,3 +103,26 @@ def test_rust_round():
     assert r(np.float32(0.49999997)) == 0.0
     assert r(np.float32(1.4999999)) == 1.0
     assert r(np.float32(2.4999998)) == 2.0
+
+
+def test_imageproc_backend_runs(bird_small_cv2):
+    """C19 twin: the oracle pipeline runs end-to-end with the imageproc-
+    semantics backend (reference default path, lib.rs:992-1007). No golden
+    parity is claimed (goldens use the OpenCV backend; imageproc semantics
+    are reconstructed from crate docs — see ImageprocProcessing docstring).
+    Keypoint counts should land in the same ballpark as the OpenCV-blur
+    pipeline on the same image."""
+    from sift_features_tpu.oracle import oracle
+    from sift_features_tpu.oracle.processing import (ImageprocProcessing,
+                                                     NumpyProcessing)
+
+    img = bird_small_cv2[:128, :160]
+    kp_ip, desc_ip = oracle.sift(img, proc=ImageprocProcessing)
+    kp_np, _ = oracle.sift(img, proc=NumpyProcessing)
+    assert len(kp_ip) > 0
+    assert 0.5 < (len(kp_ip) + 1) / (len(kp_np) + 1) < 2.0
+    assert desc_ip.shape[1] == 128 and desc_ip.dtype == np.uint8
+    # blur border semantics: replicate (constant rows stay constant)
+    flat = np.full((16, 16), 7.0, np.float32)
+    b = ImageprocProcessing.gaussian_blur(flat, 1.6)
+    np.testing.assert_allclose(b, 7.0, rtol=1e-6)

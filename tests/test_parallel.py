@@ -123,3 +123,35 @@ def test_ring_match_u8_equals_f32():
     np.testing.assert_array_equal(qi8, qif)
     np.testing.assert_array_equal(ti8, tif)
     np.testing.assert_array_equal(dist8, distf)
+
+
+def test_spatial_detection_equals_single(bird_small_cv2):
+    """The space axis does REAL detection sharding now: at n_space=2 each
+    member detects its own row band. Concatenated member results must be
+    the same keypoint+descriptor SET as n_space=1 (byte-equal after a
+    canonical sort; member-major order differs from global scan order)."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    imgs = _imgs(bird_small_cv2, b=2)
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(imgs.shape[1] * 2, imgs.shape[2] * 2)
+    mesh = make_mesh(n_data=2, n_space=2)
+    res = extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 32)
+    ref = extractor.extract_batch(imgs)
+
+    def canon(kps, desc, valid):
+        k, d = kps[valid], desc[valid]
+        comb = np.concatenate([k, d.astype(np.float32)], axis=1)
+        order = np.lexsort(comb.T[::-1])
+        return comb[order]
+
+    for f in range(imgs.shape[0]):
+        a = canon(np.asarray(res["kps"])[f], np.asarray(res["desc"])[f],
+                  np.asarray(res["valid"])[f])
+        b = canon(np.asarray(ref["kps"])[f], np.asarray(ref["desc"])[f],
+                  np.asarray(ref["valid"])[f])
+        assert a.shape == b.shape, (a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {f}")
+    # psum'd counters equal the single-chip counters
+    np.testing.assert_array_equal(np.asarray(res["n_candidates"]),
+                                  np.asarray(ref["n_candidates"]))
