@@ -64,6 +64,10 @@ def main():
 
     frames = make_frames(b)
     cfg = DEFAULT_CONFIG
+    if os.environ.get("BENCH_BF16") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, gather_dtype="bfloat16")
 
     def step(imgs):
         res = extract_batch(imgs, cfg)

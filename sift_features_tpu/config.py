@@ -53,6 +53,13 @@ class SiftConfig:
     # (orientation histograms, descriptors). Numerically equivalent to the
     # XLA path at f32; ignored (falls back to XLA) on CPU.
     use_pallas: bool = True
+    # Dtype of the WINDOW-GATHER copy of Gaussian levels 1-3 in the fused
+    # TPU path: "float32" (default, descriptor bit-parity) or "bfloat16"
+    # (halves the orientation/descriptor window DMA; the f32 blur chain,
+    # DoG, extrema and Newton refinement are untouched, so the DETECTED
+    # keypoint set is bit-identical — only descriptor bytes/angles drift by
+    # the bf16 rounding of the sampled pixels; deltas measured in BENCH.md).
+    gather_dtype: str = "float32"
 
     @property
     def descriptor_size(self) -> int:

@@ -184,14 +184,19 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     }
 
 
-def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
+def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
+                           stages: str = "full", gauss_win=None):
     """Frame-batched single-octave detection on fused-pyramid padded stacks.
 
     gauss_p/dog_p: (B, 5, H_pad, W_pad) (gauss slot k = level k+1). All
     per-keypoint math is identical to _detect_octave — frames are batched
     into ONE launch per Pallas kernel by concatenating per-frame candidate
     buffers and indexing planes as frame*n_planes + scale, so kernel-launch
-    overhead is paid once per octave instead of once per frame."""
+    overhead is paid once per octave instead of once per frame.
+
+    gauss_win: optional (B, 3, H_pad, W_pad) window-gather copy of Gaussian
+    levels 1-3 (possibly bf16, cfg.gather_dtype) consumed by the
+    orientation/descriptor kernels instead of gauss_p."""
     from ..ops.extrema import rust_round
     from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
     from ..ops.pallas.extrema_kernel import extrema_words_batched
@@ -205,10 +210,28 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
     b = cfg.image_border
     nb_ = cfg.n_orientation_bins
 
+    def dummy(n_cand=None):
+        """Early-exit result for stage ablation (tools/ablate_stages.py).
+        kps is tied to the stacks so XLA cannot dead-code the ablated
+        prefix."""
+        z = jnp.zeros((B,), jnp.int32) if n_cand is None else n_cand[1]
+        tie = (gauss_p[:, 0, 0, 0] * 0 + dog_p[:, 0, 0, 0] * 0)[:, None, None]
+        return {
+            "kps": jnp.zeros((B, M, 5), F32) + tie,
+            "desc": jnp.zeros((B, M, cfg.descriptor_size), jnp.uint8),
+            "valid": jnp.zeros((B, M), bool),
+            "n_candidates": z, "n_survivors": z, "n_emitted": z,
+        }
+
+    if stages == "pyramid":
+        return dummy()
+
     bounds = (P + b, P + h - b, P + b, P + w - b)
     words = extrema_words_batched(dog_p, bounds, cfg.scales_per_octave)
     s0, y0, x0, valid, n_cand = jax.vmap(
         lambda ww: ext_ops.find_candidates_words(ww, K))(words)      # (B, K)
+    if stages == "extrema":
+        return dummy((None, n_cand))
 
     dog_flat = dog_p.reshape(B * n_planes, hp, wp)
     poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K)
@@ -232,9 +255,16 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
     off_x = g2(ref["off_x"])
     resp = g2(ref["response"])
     kp_scale = ori_ops.kp_scale_of(s, off_s, cfg)                    # (B, K2)
+    if stages == "refine":
+        r = dummy((None, n_cand))
+        r["n_survivors"] = n_surv
+        r["kps"] = r["kps"] + kp_scale[:, :1, None] * 0
+        return r
 
-    gauss_flat = gauss_p.reshape(B * n_planes, hp, wp)
-    poff_k2 = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K2)
+    win_src = gauss_p if gauss_win is None else gauss_win
+    win_planes = win_src.shape[1]
+    gauss_flat = win_src.reshape(B * win_planes, hp, wp)
+    poff_k2 = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, K2)
     live2 = svalid.reshape(-1)
     hist = orientation_histograms_bucketed(
         gauss_flat, (s - 1).reshape(-1) + poff_k2, s.reshape(-1),
@@ -259,10 +289,16 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
     kp_sc = gc(kp_scale)
     kp_resp = gc(resp)
     kp_s = gc(s)
+    if stages == "orient":
+        r = dummy((None, n_cand))
+        r["n_survivors"] = n_surv
+        r["n_emitted"] = n_emit
+        r["kps"] = r["kps"] + (kp_angle + x_oct + y_oct)[:, :1, None] * 0
+        return r
 
     xi = rust_round(x_oct).astype(jnp.int32)
     yi = rust_round(y_oct).astype(jnp.int32)
-    poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, M)
+    poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, M)
     hist128 = descriptor_hist_bucketed(
         gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
         xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
@@ -286,7 +322,7 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw):
 
 
 def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
-                         cfg: SiftConfig):
+                         cfg: SiftConfig, stages: str = "full"):
     """Frame-batched TPU pipeline: every Pallas stage launches ONCE per
     octave for the whole batch (vs. once per frame per octave under
     lax.map) — grid-step and launch overhead dominate the small octaves on
@@ -312,8 +348,10 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
 
             base = jax.vmap(lambda im: reflect_pad_image(
                 im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(initial)
-            g, d = build_octave_padded_batched(base, cfg)
-            out.append(_detect_octave_batched(g, d, o, cfg, (h, w)))
+            g, d, g16 = build_octave_padded_batched(
+                base, cfg, gather16=cfg.gather_dtype == "bfloat16")
+            out.append(_detect_octave_batched(g, d, o, cfg, (h, w), stages,
+                                              gauss_win=g16))
             sp = cfg.scales_per_octave
             initial = g[:, sp - 1, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
         else:
@@ -325,12 +363,13 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
                 from ..ops.gaussian import gaussian_blur
                 from ..ops.resize import resize_nearest_half
 
-                levels = [im]
+                levels = [im.astype(F32)]   # XLA fallback computes in f32
                 for sig in sigmas[1:]:
                     levels.append(gaussian_blur(levels[-1], sig))
                 gauss = jnp.stack(levels, axis=0)
                 r = _detect_octave(gauss, None, o, cfg_x)
-                return r, resize_nearest_half(levels[len(levels) - 3])
+                nxt = resize_nearest_half(levels[len(levels) - 3])
+                return r, nxt.astype(im.dtype)
 
             res_o, initial = jax.lax.map(one, initial)
             out.append(res_o)

@@ -41,24 +41,25 @@ from ...utils.compact import compact_indices
 F32 = jnp.float32
 LANES = 128
 LANES_DMA = 256             # lane-aligned DMA width (window + <=127 shift)
-BK = 8                      # keypoints per grid step
+BK = 32                     # keypoints per grid step on hardware
+BK_INTERPRET = 8   # small blocks keep interpret-mode tests tractable
 
 # Scale-bucketed window radii: radius = round(10.6066*kp_scale) with
 # kp_scale < 1.6*2^((s+0.5)/3) => bounds 24 / 30 / 38 for s = 1 / 2 / 3.
 BUCKET_R = {1: 24, 2: 30, 3: 38}
 
 
-def _subl(wn: int) -> int:
-    return -(-wn // 8) * 8 + 8      # window rows + up to 7 alignment rows
+def _subl(wn: int, al: int = 8) -> int:
+    return -(-wn // al) * al + al   # window rows + up to al-1 alignment rows
 
 
 def _kernel(count_ref, s_ref, y_ref, x_ref,
             scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
-            n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max):
+            n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max, BK, al=8):
     blk = pl.program_id(0)
     base = blk * BK
     wn = 2 * r_max + 3
-    subl = _subl(wn)
+    subl = _subl(wn, al)
     n = wn - 2
 
     def start_y(i):
@@ -73,7 +74,7 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         # afterwards (pltpu.roll). The second 128-lane half is only fetched
         # when the rolled window actually reaches into it.
         i = base + k
-        ys_al = pl.multiple_of((start_y(i) // 8) * 8, 8)
+        ys_al = pl.multiple_of((start_y(i) // al) * al, al)
         xs = start_x(i)
         xs_al = pl.multiple_of(
             jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA), 128)
@@ -113,11 +114,11 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             dma_wait(slot, k)
             ys = start_y(base + k)
             xs = start_x(base + k)
-            ro = ys - (ys // 8) * 8
+            ro = ys - (ys // al) * al
             co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
             # compiled dynamic rolls mis-handle negative shifts for
             # >16-sublane arrays: always shift by the positive complement
-            win = pltpu.roll(win_ref[slot],
+            win = pltpu.roll(win_ref[slot].astype(F32),
                              jax.lax.rem(subl - ro, jnp.int32(subl)), axis=0)
             win = pltpu.roll(win,
                              jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)),
@@ -229,6 +230,8 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
     <= r_max (guaranteed per scale bucket, see BUCKET_R). Returns (M, 128)
     f32 raw histograms (finalize separately)."""
     M = s.shape[0]
+    BK = BK_INTERPRET if interpret else globals()["BK"]
+    al = 16 if gauss_padded.dtype == jnp.bfloat16 else 8
     nb = -(-M // BK)
     padn = nb * BK - M
 
@@ -240,7 +243,8 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
     kernel = functools.partial(
         _kernel, n_hist=cfg.descriptor_n_histograms,
         n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
-        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max)
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max, BK=BK,
+        al=al)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x
@@ -251,7 +255,8 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
         out_specs=pl.BlockSpec((BK, D), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _subl(2 * r_max + 3), LANES_DMA), jnp.float32),
+            pltpu.VMEM((2, _subl(2 * r_max + 3, al), LANES_DMA),
+                       gauss_padded.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

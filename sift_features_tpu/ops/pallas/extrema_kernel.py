@@ -33,7 +33,6 @@ F32 = jnp.float32
 TILE = 64       # mask rows per grid step (VMEM: ~10 live strip arrays)
 LB_MAX = 1024   # lane-block width (Mosaic crashes on >=2048-lane roll chains)
 LHALO = 128     # lane halo per side when lane-blocked
-ROWS_DMA = TILE + 16
 
 
 def _sel_matrix(lb: int) -> np.ndarray:
@@ -60,7 +59,7 @@ def _roll2(x, sub, lane, r0, wb):
 
 
 def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
-            lb, lhalo, bounds, n_scales, batched=False):
+            lb, lhalo, bounds, n_scales, batched=False, al=8):
     if batched:                   # leading frame grid dim (B, ni, nj)
         f = pl.program_id(0)
         i = pl.program_id(1)
@@ -69,10 +68,10 @@ def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
         i = pl.program_id(0)
         j = pl.program_id(1)
     wb = lb + 2 * lhalo
-    r0 = ROWS_DMA
+    r0 = TILE + 2 * al
 
-    start = jnp.clip(i * TILE - 8, 0, h_pad - r0)
-    start = pl.multiple_of((start // 8) * 8, 8)
+    start = jnp.clip(i * TILE - al, 0, h_pad - r0)
+    start = pl.multiple_of((start // al) * al, al)
     lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
     lstart = pl.multiple_of((lstart // 128) * 128, 128)
 
@@ -90,7 +89,8 @@ def _kernel(dog_hbm, sel_ref, out_ref, buf, sem, *, n_planes, h_pad, w_pad,
     planes = []
     for p in range(n_planes):
         pltpu.make_async_copy(src(p), buf.at[p], sem.at[p]).wait()
-        x = pltpu.roll(buf[p], jnp.mod(-rofs, jnp.int32(r0)), axis=0)
+        x = pltpu.roll(buf[p].astype(F32), jnp.mod(-rofs, jnp.int32(r0)),
+                       axis=0)
         x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
         planes.append(x)
 
@@ -148,9 +148,11 @@ def extrema_words(dog_padded: jnp.ndarray, bounds: tuple, n_scales: int = 3,
     ni = h_pad // TILE
     nw = lb // 32
 
+    al = 16 if dog_padded.dtype == jnp.bfloat16 else 8
     kernel = functools.partial(
         _kernel, n_planes=n_planes, h_pad=h_pad, w_pad=w_pad, lb=lb,
-        lhalo=lhalo, bounds=tuple(int(b) for b in bounds), n_scales=n_scales)
+        lhalo=lhalo, bounds=tuple(int(b) for b in bounds), n_scales=n_scales,
+        al=al)
 
     out = pl.pallas_call(
         kernel,
@@ -163,7 +165,8 @@ def extrema_words(dog_padded: jnp.ndarray, bounds: tuple, n_scales: int = 3,
         out_shape=jax.ShapeDtypeStruct((n_scales, ni * nj * TILE, nw),
                                        jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_planes, ROWS_DMA, lb + 2 * lhalo), jnp.float32),
+            pltpu.VMEM((n_planes, TILE + 2 * al, lb + 2 * lhalo),
+                       dog_padded.dtype),
             pltpu.SemaphoreType.DMA((n_planes,)),
         ],
         interpret=interpret,
@@ -190,10 +193,11 @@ def extrema_words_batched(dog_padded: jnp.ndarray, bounds: tuple,
     ni = h_pad // TILE
     nw = lb // 32
 
+    al = 16 if dog_padded.dtype == jnp.bfloat16 else 8
     kernel = functools.partial(
         _kernel, n_planes=n_planes, h_pad=h_pad, w_pad=w_pad, lb=lb,
         lhalo=lhalo, bounds=tuple(int(b) for b in bounds),
-        n_scales=n_scales, batched=True)
+        n_scales=n_scales, batched=True, al=al)
 
     out = pl.pallas_call(
         kernel,
@@ -206,7 +210,8 @@ def extrema_words_batched(dog_padded: jnp.ndarray, bounds: tuple,
         out_shape=jax.ShapeDtypeStruct((batch, n_scales, ni * nj * TILE, nw),
                                        jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_planes, ROWS_DMA, lb + 2 * lhalo), jnp.float32),
+            pltpu.VMEM((n_planes, TILE + 2 * al, lb + 2 * lhalo),
+                       dog_padded.dtype),
             pltpu.SemaphoreType.DMA((n_planes,)),
         ],
         interpret=interpret,

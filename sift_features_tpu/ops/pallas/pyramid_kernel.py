@@ -59,11 +59,18 @@ def _blur_strip(x, taps, r0, wb):
 
 
 def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
-            batched=False):
+            batched=False, al=8, has_g16=False):
+    g16_ref = None
     if src_slot is None:          # first level: (base_in, g_out, d_out, ...)
-        in_hbm, gauss_ref, dog_ref, buf, sem = refs
+        if has_g16:
+            in_hbm, gauss_ref, dog_ref, g16_ref, buf, sem = refs
+        else:
+            in_hbm, gauss_ref, dog_ref, buf, sem = refs
     else:                         # aliased: (g_in, d_in, g_out, d_out, ...)
-        in_hbm, _d_in, gauss_ref, dog_ref, buf, sem = refs
+        if has_g16:
+            in_hbm, _d_in, _g16_in, gauss_ref, dog_ref, g16_ref, buf, sem = refs
+        else:
+            in_hbm, _d_in, gauss_ref, dog_ref, buf, sem = refs
     if batched:                   # leading frame grid dim (B, nb, nlb)
         f = pl.program_id(0)
         i = pl.program_id(1)
@@ -75,7 +82,7 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
     wb = lb + 2 * lhalo
 
     start = jnp.clip(i * TILE - halo8, 0, h_pad - r0)
-    start = pl.multiple_of((start // 8) * 8, 8)
+    start = pl.multiple_of((start // al) * al, al)
     lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
     lstart = pl.multiple_of((lstart // 128) * 128, 128)
     if batched:
@@ -92,32 +99,42 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
     cp.wait()
 
     # align buffer so logical (row i*TILE - halo8 + q, lane j*lb - lhalo + c)
-    # sits at (q, c)
+    # sits at (q, c); tap math always runs in f32 (bf16 is a STORAGE mode)
     ofs = (i * TILE - halo8) - start          # in [-halo8, +halo8]
-    x = pltpu.roll(buf[:, :], jnp.mod(-ofs, jnp.int32(r0)), axis=0)
+    x = pltpu.roll(buf[:, :].astype(F32), jnp.mod(-ofs, jnp.int32(r0)), axis=0)
     lofs = (j * lb - lhalo) - lstart
     x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
 
     out = _blur_strip(x, taps, r0, wb)
+    od = gauss_ref.dtype
     rows = out[halo8:halo8 + TILE, lhalo:lhalo + lb]
+    dog = (rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]).astype(od)
+    rows = rows.astype(od)
     if batched:
         gauss_ref[0, 0, :, :] = rows
-        dog_ref[0, 0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
+        dog_ref[0, 0, :, :] = dog
+        if g16_ref is not None:   # bf16 window-gather copy (levels 1-3)
+            g16_ref[0, 0, :, :] = rows.astype(jnp.bfloat16)
     else:
         gauss_ref[0, :, :] = rows
-        dog_ref[0, :, :] = rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]
+        dog_ref[0, :, :] = dog
+        if g16_ref is not None:
+            g16_ref[0, :, :] = rows.astype(jnp.bfloat16)
 
 
 def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
                 n_slots: int, gd: tuple | None, interpret: bool,
-                batch: int | None = None):
+                batch: int | None = None, gather16: bool = False,
+                n_g16: int = 3):
     """One blur level. src: base image (h_pad, w_pad) when gd is None (first
     level; allocates the slot stacks), else reads gd[0][dst_slot-1]. Writes
     gauss slot dst_slot and dog slot dst_slot in place (aliased). With
     `batch`, arrays carry a leading frame dim (B, ...) and the grid gains a
     frame axis — one launch covers the whole batch."""
     taps = tuple(float(t) for t in gaussian_kernel(sigma, cv_ksize(sigma)))
-    halo8 = -(-(len(taps) // 2) // 8) * 8
+    dtype = (src if gd is None else gd[0]).dtype
+    al = 16 if dtype == jnp.bfloat16 else 8   # bf16 tiles are 16 sublanes
+    halo8 = -(-(len(taps) // 2) // al) * al
     nb = h_pad // TILE
     if w_pad > 1536:  # single-block roll chains crash Mosaic at >=2048 lanes
         lb, lhalo = LB_MAX, LHALO
@@ -125,38 +142,55 @@ def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
     else:
         lb, lhalo = w_pad, 0
     nlb = w_pad // lb
+    has_g16 = gather16 and dst_slot < n_g16
     kernel = functools.partial(
         _kernel, taps=taps, halo8=halo8, h_pad=h_pad, w_pad=w_pad,
         src_slot=None if gd is None else dst_slot - 1, lb=lb, lhalo=lhalo,
-        batched=batch is not None)
+        batched=batch is not None, al=al, has_g16=has_g16)
 
     if batch is None:
         grid = (nb, nlb)
         blk = pl.BlockSpec((1, TILE, lb), lambda i, j: (dst_slot, i, j),
                            memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad),
-                                          jnp.float32)] * 2
+                                          dtype)] * 2
+        if has_g16:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n_g16, h_pad, w_pad), jnp.bfloat16))
     else:
         grid = (batch, nb, nlb)
         blk = pl.BlockSpec((1, 1, TILE, lb),
                            lambda f, i, j: (f, dst_slot, i, j),
                            memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((batch, n_slots, h_pad, w_pad),
-                                          jnp.float32)] * 2
-    scratch = [pltpu.VMEM((TILE + 2 * halo8, lb + 2 * lhalo), jnp.float32),
+                                          dtype)] * 2
+        if has_g16:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (batch, n_g16, h_pad, w_pad), jnp.bfloat16))
+    outs = [blk] * len(out_shape)
+    scratch = [pltpu.VMEM((TILE + 2 * halo8, lb + 2 * lhalo), dtype),
                pltpu.SemaphoreType.DMA]
     if gd is None:
         return pl.pallas_call(
             kernel, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[blk, blk], out_shape=out_shape,
+            out_specs=outs, out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret)(src)
-    g, d = gd
+    if has_g16:
+        g, d, g16 = gd
+        return pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=outs, out_shape=out_shape,
+            scratch_shapes=scratch,
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            interpret=interpret)(g, d, g16)
+    g, d = gd[:2]
     return pl.pallas_call(
         kernel, grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[blk, blk], out_shape=out_shape,
+        out_specs=outs, out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret)(g, d)
@@ -185,23 +219,36 @@ def build_octave_padded(base_padded: jnp.ndarray, cfg: SiftConfig,
 
 
 def build_octave_padded_batched(base_padded: jnp.ndarray, cfg: SiftConfig,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                gather16: bool = False):
     """Batched build_octave_padded: base_padded (B, H_pad, W_pad) ->
-    (gauss_slots, dog) both (B, 5, H_pad, W_pad). One kernel launch per
-    level covers the whole frame batch (frame axis on the grid)."""
+    (gauss_slots, dog, g16) with gauss/dog (B, 5, H_pad, W_pad) and g16 a
+    (B, 3, H_pad, W_pad) bf16 window-gather copy of levels 1-3 when
+    `gather16` (else None). One kernel launch per level covers the whole
+    frame batch (frame axis on the grid)."""
     batch, h_pad, w_pad = base_padded.shape
     sigmas = cfg.octave_sigmas()
     n_slots = len(sigmas) - 1
     gd = None
+    g16 = None
     for k, sigma in enumerate(sigmas[1:]):
+        has16 = gather16 and k < 3
         if gd is None:
-            g, d = _call_level(base_padded, 0, sigma, h_pad, w_pad, n_slots,
-                               None, interpret, batch=batch)
+            res = _call_level(base_padded, 0, sigma, h_pad, w_pad, n_slots,
+                              None, interpret, batch=batch, gather16=gather16)
+        elif has16:
+            res = _call_level(None, k, sigma, h_pad, w_pad, n_slots,
+                              (gd[0], gd[1], g16), interpret, batch=batch,
+                              gather16=gather16)
         else:
-            g, d = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
-                               interpret, batch=batch)
+            res = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
+                              interpret, batch=batch)
+        if has16:
+            g, d, g16 = res
+        else:
+            g, d = res
         gd = (g, d)
-    return gd
+    return gd[0], gd[1], g16
 
 
 def reflect_pad_image(img: jnp.ndarray, pad: int, extra_right: int,

@@ -32,14 +32,18 @@ from ...config import DEFAULT_CONFIG, SiftConfig
 from .util import round_half_away
 
 F32 = jnp.float32
-BK = 16          # candidates per grid step
-ROWS = 16        # 8-aligned rows covering 3 cube rows + <=7 shift
+BK = 16          # candidates per grid step: small blocks keep the
+                 # convergence skip fine-grained (BK=64 measured SLOWER: nearly
+                 # every block then contains an active lane in steps 2-5)
+BK_INTERPRET = 16  # small blocks keep interpret-mode tests tractable
+ROWS = 16        # f32: 8-aligned rows covering 3 cube rows + <=7 shift
+ROWS_BF16 = 32   # bf16: 16-aligned rows + <=15 shift
 LANES_DMA = 256  # 128-aligned lanes covering 3 cube cols + <=127 shift
 
 
 def _kernel(active_ref, s_ref, y_ref, x_ref, cand_ref, dog_hbm, out_ref, buf,
             sem, *, contrast_threshold, edge_threshold, scales_per_octave,
-            w_pad):
+            w_pad, BK, n_rows=ROWS, al=8):
     blk = pl.program_id(0)
     base = blk * BK
 
@@ -50,16 +54,16 @@ def _kernel(active_ref, s_ref, y_ref, x_ref, cand_ref, dog_hbm, out_ref, buf,
         i = base + k
         ys = y_ref[i] - 1
         xs = x_ref[i] - 1
-        ys_al = pl.multiple_of((ys // 8) * 8, 8)
+        ys_al = pl.multiple_of((ys // al) * al, al)
         xs_al = pl.multiple_of((xs // 128) * 128, 128)
         need2 = (xs - xs_al) + 3 > 128
         c1 = pltpu.make_async_copy(
             dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
-                       pl.ds(ys_al, ROWS), pl.ds(xs_al, 128)],
+                       pl.ds(ys_al, n_rows), pl.ds(xs_al, 128)],
             buf.at[k, :, :, 0:128], sem.at[k, 0])
         c2 = pltpu.make_async_copy(
             dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
-                       pl.ds(ys_al, ROWS), pl.ds(xs_al + 128, 128)],
+                       pl.ds(ys_al, n_rows), pl.ds(xs_al + 128, 128)],
             buf.at[k, :, :, 128:256], sem.at[k, 1])
         return c1, c2, need2
 
@@ -100,13 +104,13 @@ def _kernel(active_ref, s_ref, y_ref, x_ref, cand_ref, dog_hbm, out_ref, buf,
             i = base + k
             ys = y_ref[i] - 1
             xs = x_ref[i] - 1
-            ro = ys - (ys // 8) * 8
+            ro = ys - (ys // al) * al
             co = xs - (xs // 128) * 128
             row = jnp.zeros((1, 32), F32)
             j = 0
             for ds in range(3):
-                plane = pltpu.roll(buf[k, ds],
-                                   jax.lax.rem(ROWS - ro, jnp.int32(ROWS)), axis=0)
+                plane = pltpu.roll(buf[k, ds].astype(F32),
+                                   jax.lax.rem(n_rows - ro, jnp.int32(n_rows)), axis=0)
                 plane = pltpu.roll(plane,
                                    jax.lax.rem(LANES_DMA - co, jnp.int32(LANES_DMA)),
                                    axis=1)
@@ -193,6 +197,7 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
     coordinates (i.e. unpadded + P). active: (K,) int32 (1 = evaluate).
     Returns (K, 16) f32 per-candidate row (layout in module docstring)."""
     K = s.shape[0]
+    BK = BK_INTERPRET if interpret else globals()["BK"]
     nb = -(-K // BK)
     padn = nb * BK - K
 
@@ -202,10 +207,13 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
     blk_active = jnp.sum(pad1(active).reshape(nb, BK), axis=1,
                          dtype=jnp.int32)
 
+    bf16 = dog_padded.dtype == jnp.bfloat16
+    rows = ROWS_BF16 if bf16 else ROWS
     kernel = functools.partial(
         _kernel, contrast_threshold=cfg.contrast_threshold,
         edge_threshold=cfg.edge_threshold,
-        scales_per_octave=cfg.scales_per_octave, w_pad=w_pad)
+        scales_per_octave=cfg.scales_per_octave, w_pad=w_pad, BK=BK,
+        n_rows=rows, al=16 if bf16 else 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # blk_active, s, y, x, per-candidate active
@@ -214,7 +222,7 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
         out_specs=pl.BlockSpec((BK, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BK, 3, ROWS, LANES_DMA), jnp.float32),
+            pltpu.VMEM((BK, 3, rows, LANES_DMA), dog_padded.dtype),
             pltpu.SemaphoreType.DMA((BK, 2)),
         ],
     )
@@ -226,8 +234,8 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
         interpret=interpret,
     )(blk_active,
       pad1(jnp.clip(s, 1, dog_padded.shape[0] - 2)).astype(jnp.int32),
-      # row clamp keeps the aligned 16-row DMA in-bounds even for dead lanes
-      pad1(jnp.clip(y, 1, dog_padded.shape[1] - ROWS)).astype(jnp.int32),
+      # row clamp keeps the aligned row DMA in-bounds even for dead lanes
+      pad1(jnp.clip(y, 1, dog_padded.shape[1] - rows)).astype(jnp.int32),
       pad1(jnp.clip(x, 1, dog_padded.shape[2] - 2)).astype(jnp.int32),
       pad1(active).astype(jnp.int32),
       dog_padded)

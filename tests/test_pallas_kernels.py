@@ -279,3 +279,52 @@ def test_extrema_kernel_matches_reduce_window():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_bf16_storage_kernels():
+    """bf16 STORAGE mode: kernels DMA bf16 pyramid planes and upcast for
+    arithmetic. Extrema words must be bit-exact vs the mask computed on the
+    upcast values; descriptors may move by a few bytes vs f32 storage."""
+    from sift_features_tpu.ops import extrema as ext_ops
+    from sift_features_tpu.ops.extrema import rust_round
+    from sift_features_tpu.ops.pallas.extrema_kernel import extrema_words
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_pallas)
+
+    cfg = DEFAULT_CONFIG
+    rng = np.random.RandomState(9)
+    hp, wp = 128, 256
+    dog32 = (rng.randn(5, hp, wp) * 0.05).astype(np.float32)
+    dog16 = jnp.asarray(dog32).astype(jnp.bfloat16)
+    P, h, w = 30, 60, 180
+    b = cfg.image_border
+    bounds = (P + b, P + h - b, P + b, P + w - b)
+    ref = np.asarray(ext_ops.extrema_mask(
+        jnp.asarray(np.asarray(dog16.astype(jnp.float32))), cfg, bounds=bounds))
+    words = np.asarray(extrema_words(dog16, bounds, 3, True))
+    got = ((words[..., None] >> np.arange(32)) & 1).astype(bool).reshape(3, hp, wp)
+    np.testing.assert_array_equal(got, ref)
+
+    # descriptor: bf16 window vs f32 window, same keypoints
+    h2, w2 = 128, 160
+    gauss = rng.rand(6, h2, w2).astype(np.float32)
+    gp32 = jnp.asarray(np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(gauss))))
+    gp16 = gp32.astype(jnp.bfloat16)
+    M, count = 8, 6
+    s = np.array([1, 2, 3, 1, 2, 1, 1, 1], np.int32)
+    x = (rng.rand(M) * (w2 - 20) + 10).astype(np.float32)
+    y = (rng.rand(M) * (h2 - 20) + 10).astype(np.float32)
+    ks = (1.6 * 2.0 ** ((s + (rng.rand(M) - 0.5) * 0.999) / 3.0)).astype(np.float32)
+    ang = (rng.rand(M) * 360).astype(np.float32)
+    xi = np.asarray(rust_round(jnp.asarray(x))).astype(np.int32)
+    yi = np.asarray(rust_round(jnp.asarray(y))).astype(np.int32)
+
+    args = (jnp.asarray(s), jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(ks),
+            jnp.asarray(ang), count, h2, w2, desc_ops.PAD_DESC, cfg, True)
+    d32 = np.asarray(desc_ops.finalize_descriptor(
+        descriptor_hist_pallas(gp32, *args), cfg))[:count]
+    d16 = np.asarray(desc_ops.finalize_descriptor(
+        descriptor_hist_pallas(gp16, *args), cfg))[:count]
+    diff = np.abs(d32.astype(int) - d16.astype(int))
+    assert diff.max() <= 6, diff.max()
+    assert diff.mean() < 1.0, diff.mean()

@@ -155,3 +155,56 @@ def test_spatial_detection_equals_single(bird_small_cv2):
     # psum'd counters equal the single-chip counters
     np.testing.assert_array_equal(np.asarray(res["n_candidates"]),
                                   np.asarray(ref["n_candidates"]))
+
+
+@pytest.mark.slow
+def test_determinism_across_mesh_shapes(bird_small_cv2):
+    """SURVEY §5.2: extract_match_step output must be identical across mesh
+    shapes on fixed inputs. Data-parallel reshardings must be byte-equal;
+    space reshardings reorder keypoints (member-major) so they are compared
+    as canonically-sorted sets; match results are compared after mapping
+    query indices through each frame's valid keypoints."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    imgs = _imgs(bird_small_cv2, b=8)
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(imgs.shape[1] * 2, imgs.shape[2] * 2)
+
+    def run(n_data, n_space):
+        mesh = make_mesh(n_data=n_data, n_space=n_space)
+        return extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 32)
+
+    base = run(1, 1)
+
+    def canon(res, f):
+        v = np.asarray(res["valid"])[f]
+        k = np.asarray(res["kps"])[f][v]
+        d = np.asarray(res["desc"])[f][v]
+        comb = np.concatenate([k, d.astype(np.float32)], axis=1)
+        return comb[np.lexsort(comb.T[::-1])]
+
+    for nd, ns in [(8, 1), (4, 2), (2, 4)]:
+        res = run(nd, ns)
+        for f in range(imgs.shape[0]):
+            np.testing.assert_array_equal(
+                canon(res, f), canon(base, f),
+                err_msg=f"mesh ({nd},{ns}) frame {f}")
+        if ns == 1:
+            # pure data-parallel resharding: bitwise-identical results on
+            # every VALID lane (invalid-lane padding is program-dependent)
+            v = np.asarray(base["valid"])
+            np.testing.assert_array_equal(np.asarray(res["valid"]), v)
+            for key in ("kps", "desc"):
+                np.testing.assert_array_equal(
+                    np.asarray(res[key])[v], np.asarray(base[key])[v],
+                    err_msg=f"mesh ({nd},{ns}) {key}")
+            for key in ("n_candidates", "n_emitted", "query_idx"):
+                np.testing.assert_array_equal(
+                    np.asarray(res[key]), np.asarray(base[key]),
+                    err_msg=f"mesh ({nd},{ns}) {key}")
+            mk = np.asarray(base["match_keep"])
+            np.testing.assert_array_equal(np.asarray(res["match_keep"]), mk)
+            for key in ("match_train", "match_dist"):
+                np.testing.assert_array_equal(
+                    np.asarray(res[key])[mk], np.asarray(base[key])[mk],
+                    err_msg=f"mesh ({nd},{ns}) {key}")

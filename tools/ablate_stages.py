@@ -1,0 +1,63 @@
+"""True per-stage cost of the fused 1080p pipeline by in-graph ablation.
+
+Separate per-op jits mis-measure on this backend (per-execution dispatch
+overhead through the axon tunnel dwarfs small ops), so each stage's cost is
+the DELTA between full-pipeline programs truncated at successive stages
+(models.extractor._detect_octave_batched `stages` knob).
+Run alone on the chip: python tools/ablate_stages.py
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+
+    from bench import make_frames
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import _extract_batch_fused
+
+    b = int(os.environ.get("BENCH_BATCH", "4"))
+    frames = jnp.asarray(make_frames(b))
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(frames.shape[1] * 2, frames.shape[2] * 2)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(imgs, stages):
+        return _extract_batch_fused(imgs, n_oct, cfg, stages)
+
+    def timed(stages, iters=6):
+        out = run(frames, stages)
+        float(np.asarray(out["kps"].ravel()[0]))
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            out = run(frames, stages)
+            s = out["kps"].ravel()[0] + out["n_candidates"].sum()
+        float(np.asarray(s))
+        dt = (time.perf_counter() - t0) / iters / b * 1e3
+        return dt
+
+    prev = 0.0
+    for stages in ("pyramid", "extrema", "refine", "orient", "full"):
+        ms = timed(stages)
+        print(f"{stages:>8s}: {ms:8.2f} ms/frame  (delta {ms - prev:+7.2f})",
+              flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
