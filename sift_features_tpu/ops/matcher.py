@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -49,9 +50,13 @@ def _dot_qt_int8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _match_jit(d_train: jnp.ndarray, d_query: jnp.ndarray, cross_check: bool):
-    if d_train.dtype == jnp.uint8 and d_query.dtype == jnp.uint8:
-        # int8 MXU path: exact integer distances (SURVEY.md §7 — 'int8
-        # descriptors feed the MXU naturally')
+    if (d_train.dtype == jnp.uint8 and d_query.dtype == jnp.uint8
+            and int(os.environ.get("SIFT_INT8_MATCH", "0"))):
+        # int8 MXU path: exact integer distances, but MEASURED ~8x slower
+        # than the f32 MXU on this backend (s8 dot lowers poorly;
+        # tools/bench_matcher_db.py) — opt-in only. The f32 path below is
+        # bit-exact on u8 inputs anyway (values <= 255: products and sums
+        # stay within the f32 integer range).
         aa = jnp.sum(jnp.square(d_train.astype(jnp.int32)), axis=1)
         bb = jnp.sum(jnp.square(d_query.astype(jnp.int32)), axis=1)
         ab = _dot_qt_int8(d_train, d_query)

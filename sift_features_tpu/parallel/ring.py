@@ -40,25 +40,22 @@ def _d2_block(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _d2_block_u8(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """(Qd,128),(Td,128) u8 -> (Qd,Td) squared L2, int8 MXU path.
+    """(Qd,128),(Td,128) u8 -> (Qd,Td) squared L2, exact.
 
-    u8 values don't fit int8, so the dot is computed shifted:
-    q.t = (q-128).(t-128) + 128*(sum(q)+sum(t)) - 128^2*D, exact in int32
-    (ops.matcher._dot_qt_int8). Squared distances are < 255^2*128 < 2^24,
-    so the f32 cast is exact and the running-min updates match the f32 path
-    bit for bit."""
-    d = q.shape[1]
-    qi = q.astype(I32)
-    ti = t.astype(I32)
-    q8 = (qi - 128).astype(jnp.int8)
-    t8 = (ti - 128).astype(jnp.int8)
-    qt = jax.lax.dot_general(q8, t8, (((1,), (1,)), ((), ())),
-                             preferred_element_type=I32)
-    qt = qt + 128 * (jnp.sum(qi, axis=1)[:, None]
-                     + jnp.sum(ti, axis=1)[None, :]) - 128 * 128 * d
-    qq = jnp.sum(qi * qi, axis=1)
-    tt = jnp.sum(ti * ti, axis=1)
-    return jnp.maximum(qq[:, None] + tt[None, :] - 2 * qt, 0).astype(F32)
+    u8 descriptors ride the ring as-is (1/4 the ICI bytes of f32) but the
+    DISTANCE matmul upcasts to f32: on this backend the s8xs8->s32 dot
+    lowers ~8x slower than the f32 MXU path (measured 4.6 vs 37.8 Gdist/s,
+    tools/bench_matcher_db.py), while f32 on integer values <= 255 is
+    exact (products <= 65025, sums < 2^24) — identical results either
+    way."""
+    qf = q.astype(F32)
+    tf = t.astype(F32)
+    qt = jax.lax.dot_general(qf, tf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=F32,
+                             precision=jax.lax.Precision.HIGHEST)
+    qq = jnp.sum(qf * qf, axis=1)
+    tt = jnp.sum(tf * tf, axis=1)
+    return jnp.maximum(qq[:, None] + tt[None, :] - 2.0 * qt, 0.0)
 
 
 def _ring_body(q, qv, t, tv, axis_name: str, n_shards: int, t_blk: int,
@@ -83,8 +80,8 @@ def _ring_body(q, qv, t, tv, axis_name: str, n_shards: int, t_blk: int,
 
     u8 = q.dtype == jnp.uint8 and t.dtype == jnp.uint8
     for _ in range(n_shards):
-        # u8 descriptors ride the ring as-is (4x less ICI traffic) and hit
-        # the int8 MXU; distances are exactly equal to the f32 path
+        # u8 descriptors ride the ring as-is (4x less ICI traffic);
+        # distances are computed exactly either way
         d2 = _d2_block_u8(q, t) if u8 else _d2_block(q, t)
         if q_tag is not None:
             d2 = jnp.where(t_tag[None, :] == q_tag[:, None], inf, d2)
@@ -149,7 +146,7 @@ def ring_match(d_train, d_query, mesh: Mesh, axis_name: str = "data",
     n = mesh.shape[axis_name]
     d_query = np.asarray(d_query)
     d_train = np.asarray(d_train)
-    # u8 descriptors stay u8 end-to-end (int8 MXU ring); anything else f32
+    # u8 descriptors stay u8 end-to-end on the wire; anything else f32
     u8 = d_query.dtype == np.uint8 and d_train.dtype == np.uint8
     dt = np.uint8 if u8 else np.float32
     q = d_query.astype(dt, copy=False)
