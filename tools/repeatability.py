@@ -9,7 +9,9 @@ For each (base, warped-by-H) pair:
                    geometrically consistent with H
 
 Compares this framework against cv2.SIFT on identical pairs.
-Usage: python tools/repeatability.py [image] [eps_px]
+Usage: python tools/repeatability.py [image|all] [eps_px]
+  'all' runs every small reference image plus a keypoint-budget sweep
+  (features_limit curves, ROADMAP item 5).
 """
 
 import sys
@@ -56,14 +58,12 @@ def matching_score(k_base, d_base, k_warp, d_warp, H, eps, matcher):
     return float(good.mean())
 
 
-def main():
+def run_image(path, eps, budgets=()):
     import cv2
 
     from sift_features_tpu.io.image import load_gray
     import sift_features_tpu as sft
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/bird_small.jpg"
-    eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
     img = load_gray(path, "cv2")
     h, w = img.shape
 
@@ -100,6 +100,31 @@ def main():
     m = np.mean(rows, axis=0)
     print(f"mean: repeat ours {m[0]:.3f} cv2 {m[1]:.3f} | "
           f"match-score ours {m[2]:.3f} cv2 {m[3]:.3f}")
+
+    # keypoint-budget sweep: matching score under features_limit (the
+    # reference's only runtime knob) on the first warp pair
+    if budgets:
+        H = homographies(h, w)[0]
+        warp = cv2.warpPerspective(img, H, (w, h))
+        for lim in budgets:
+            kb, db = sft.sift(img, features_limit=lim)
+            kw, dw = sft.sift(warp, features_limit=lim)
+            s = matching_score(kb, db, kw, dw, H, eps * 2, our_matcher)
+            r = repeatability(kb, kw, H, eps)
+            print(f"  budget {lim:>5}: kps {len(kb):>5} | repeat {r:.3f} "
+                  f"| match-score {s:.3f}")
+    return m
+
+
+def main():
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/bird_small.jpg"
+    eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    if arg == "all":
+        for name in ("bird_small", "tree_small", "elephant"):
+            run_image(f"/root/reference/images/{name}.jpg", eps,
+                      budgets=(100, 500, 1000))
+    else:
+        run_image(arg, eps)
 
 
 if __name__ == "__main__":
