@@ -185,8 +185,12 @@ struct BatchPool {
     });
     for (int i = lo; i < hi; ++i)
       if (consumed[i].load() != 0) return -2;
-    for (int i = lo; i < hi; ++i) {
+    // Validate the WHOLE batch before copying anything: a decode error must
+    // not leave earlier frames copied+consumed (a retry would then hit -2
+    // and mask the original error while losing the partial batch).
+    for (int i = lo; i < hi; ++i)
       if (done[i].load() < 0) return -1;
+    for (int i = lo; i < hi; ++i) {
       std::memcpy(out + static_cast<size_t>(i - lo) * frame_bytes,
                   slots[i].data(), frame_bytes);
       consumed[i].store(1);

@@ -44,6 +44,9 @@ class SiftConfig:
     # Max raw discrete extrema per octave kept for refinement. Dense scans on the
     # test images yield O(1e3) per octave; capacity overflows are detected and
     # surfaced by the pipeline.
+    # NOTE: buffer capacities have 128-lane granularity — the effective
+    # candidate capacity is this value rounded UP to a multiple of 128 (e.g.
+    # 100 -> 128 candidates kept before scan-order truncation).
     max_candidates_per_octave: int = 32768
     # Max emitted keypoints (across orientations) per octave.
     max_keypoints_per_octave: int = 8192

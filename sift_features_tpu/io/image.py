@@ -77,6 +77,16 @@ def load_gray(path: str, method: str = "cv2") -> np.ndarray:
         return rgb_to_luma709_int(rgb)
     if method == "image-crate-f32":
         return rgb_to_luma709_f32(rgb)
+    if method == "golden":
+        # Pinned golden-test decode (tools/decoder_sweep.py, round 3):
+        # libjpeg float DCT + fancy chroma upsampling + BT.709 truncating
+        # luma — the variant with the best mean correspondence to the
+        # reference's zune-jpeg-decoded goldens (bird_small 0.871,
+        # tree_small 0.935; no libjpeg variant reproduces zune-jpeg exactly).
+        from .native_loader import decode_gray
+
+        return decode_gray(path, luma="bt709", dct="float",
+                           fancy_upsampling=True)
     raise ValueError(f"unknown method {method!r}")
 
 

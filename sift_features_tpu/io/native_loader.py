@@ -73,17 +73,26 @@ def _get_lib():
         return _lib
 
 
+_DCT = {"islow": 0, "ifast": 1, "float": 2}
+
+
 def decode_gray(path: str, max_hw: tuple[int, int] = (8192, 8192),
-                luma: str = "jpeg-gray") -> np.ndarray:
-    """Decode a JPEG to (h, w) u8 grayscale with the native decoder."""
+                luma: str = "jpeg-gray", dct: str = "islow",
+                fancy_upsampling: bool = True) -> np.ndarray:
+    """Decode a JPEG to (h, w) u8 grayscale with the native decoder.
+
+    dct / fancy_upsampling select libjpeg decode variants (sift_loader.cpp
+    option bits); tools/decoder_sweep.py measures their golden-correspondence
+    impact. dct="float" + fancy is the pinned golden-test variant."""
     lib = _get_lib()
     mh, mw = max_hw
     buf = np.zeros((mh, mw), np.uint8)
     h = ctypes.c_int()
     w = ctypes.c_int()
+    opts = (_DCT[dct] | (0 if fancy_upsampling else 4)) << 8
     rc = lib.sl_decode_gray(path.encode(), buf.ctypes.data_as(ctypes.c_void_p),
                             ctypes.byref(h), ctypes.byref(w), mh, mw,
-                            _LUMA[luma])
+                            _LUMA[luma] | opts)
     if rc != 0:
         raise IOError(f"decode failed ({rc}): {path}")
     return buf[:h.value, :w.value].copy()

@@ -48,10 +48,17 @@ def _dot_qt_int8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
     return ab + 128 * (sb[:, None] + sa[None, :]) - 128 * 128 * d
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _match_jit(d_train: jnp.ndarray, d_query: jnp.ndarray, cross_check: bool):
-    if (d_train.dtype == jnp.uint8 and d_query.dtype == jnp.uint8
-            and int(os.environ.get("SIFT_INT8_MATCH", "0"))):
+def _int8_match_enabled() -> bool:
+    """Read SIFT_INT8_MATCH OUTSIDE jit: compilations cache per (dtype,
+    shape, statics), so a trace-time env read would freeze the first value
+    seen for the rest of the process."""
+    return bool(int(os.environ.get("SIFT_INT8_MATCH", "0")))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _match_jit(d_train: jnp.ndarray, d_query: jnp.ndarray, cross_check: bool,
+               int8: bool = False):
+    if d_train.dtype == jnp.uint8 and d_query.dtype == jnp.uint8 and int8:
         # int8 MXU path: exact integer distances, but MEASURED ~8x slower
         # than the f32 MXU on this backend (s8 dot lowers poorly;
         # tools/bench_matcher_db.py) — opt-in only. The f32 path below is
@@ -90,7 +97,8 @@ def match_brute_force(d_train, d_query, cross_check: bool = True) -> Matches:
     """
     d_train = jnp.asarray(d_train)
     d_query = jnp.asarray(d_query)
-    bt, dist, keep = _match_jit(d_train, d_query, cross_check)
+    bt, dist, keep = _match_jit(d_train, d_query, cross_check,
+                                _int8_match_enabled())
     bt, dist, keep = np.asarray(bt), np.asarray(dist), np.asarray(keep)
     qi = np.nonzero(keep)[0]
     return Matches(query_idx=qi, train_idx=bt[qi], distance=dist[qi])

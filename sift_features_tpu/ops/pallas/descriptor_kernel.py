@@ -46,7 +46,36 @@ BK_INTERPRET = 8   # small blocks keep interpret-mode tests tractable
 
 # Scale-bucketed window radii: radius = round(10.6066*kp_scale) with
 # kp_scale < 1.6*2^((s+0.5)/3) => bounds 24 / 30 / 38 for s = 1 / 2 / 3.
+# (Default-config instance of bucket_radii(); kept as a constant for tests.)
 BUCKET_R = {1: 24, 2: 30, 3: 38}
+
+
+def bucket_radii(cfg: SiftConfig) -> dict[int, int]:
+    """Per-scale-level descriptor window radius bound derived from cfg, so
+    every live s_level in [1, cfg.scales_per_octave] maps to a bucket (a
+    hardcoded {1,2,3} dict would silently zero descriptors for s_level > 3
+    under a non-default scales_per_octave).
+
+    kp_scale for level s is < sigma_min*inv_delta_min*2^((s+0.5)/n) (|off_s|
+    < 0.5), and the window radius is round(lambda_descr*scale*sqrt(2)*
+    (n_hist+1)/2) (lib.rs:800), monotone in scale."""
+    import math
+
+    factor = (cfg.lambda_descr * math.sqrt(2.0)
+              * (cfg.descriptor_n_histograms + 1) / 2.0)
+    out = {}
+    for s in range(1, cfg.scales_per_octave + 1):
+        scl_max = (cfg.sigma_min * cfg.inv_delta_min
+                   * 2.0 ** ((s + 0.5) / cfg.scales_per_octave))
+        out[s] = int(round(factor * scl_max))
+    from ..descriptor import R_DESC_MAX
+
+    if max(out.values()) > R_DESC_MAX:
+        raise ValueError(
+            f"descriptor window radius {max(out.values())} exceeds the "
+            f"kernel bound R_DESC_MAX={R_DESC_MAX} for scales_per_octave="
+            f"{cfg.scales_per_octave}; use use_pallas=False for this config")
+    return out
 
 
 def _subl(wn: int, al: int = 8) -> int:
@@ -295,7 +324,7 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     if live is None:
         live = jnp.arange(M, dtype=jnp.int32) < count
     out = jnp.zeros((M, cfg.descriptor_size), F32)
-    for si, r_max in BUCKET_R.items():
+    for si, r_max in bucket_radii(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, M)
         hb = descriptor_hist_pallas(

@@ -44,7 +44,29 @@ BK = 32                     # candidates per grid step on hardware
 BK_INTERPRET = 8   # small blocks keep interpret-mode tests tractable
 
 # radius = round(4.5*kp_scale) with kp_scale < 1.6*2^((s+0.5)/3)
+# (Default-config instance of bucket_radii_ori(); kept as a constant for tests.)
 BUCKET_R_ORI = {1: 10, 2: 13, 3: 16}
+
+
+def bucket_radii_ori(cfg: SiftConfig) -> dict[int, int]:
+    """Per-scale-level orientation window radius bound derived from cfg (see
+    descriptor_kernel.bucket_radii for why this must not be hardcoded).
+    Radius is round(3*lambda_ori*kp_scale) (lib.rs:380) with kp_scale <
+    sigma_min*inv_delta_min*2^((s+0.5)/scales_per_octave)."""
+    factor = 3.0 * cfg.lambda_ori
+    out = {}
+    for s in range(1, cfg.scales_per_octave + 1):
+        scl_max = (cfg.sigma_min * cfg.inv_delta_min
+                   * 2.0 ** ((s + 0.5) / cfg.scales_per_octave))
+        out[s] = int(round(factor * scl_max))
+    from ..orientation import R_ORI_MAX
+
+    if max(out.values()) > R_ORI_MAX:
+        raise ValueError(
+            f"orientation window radius {max(out.values())} exceeds the "
+            f"kernel bound R_ORI_MAX={R_ORI_MAX} for scales_per_octave="
+            f"{cfg.scales_per_octave}; use use_pallas=False for this config")
+    return out
 
 
 def _subl(wn: int, al: int = 8) -> int:
@@ -256,7 +278,7 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
         live = jnp.arange(K, dtype=jnp.int32) < count
     n_bins = cfg.n_orientation_bins
     out = jnp.zeros((K, n_bins), F32)
-    for si, r_max in BUCKET_R_ORI.items():
+    for si, r_max in bucket_radii_ori(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, K)
         hb = orientation_histograms_pallas(

@@ -48,3 +48,19 @@ def bird_small_cv2(reference_root):
     from sift_features_tpu.io.image import load_gray
 
     return load_gray(f"{reference_root}/images/bird_small.jpg", "cv2")
+
+
+@pytest.fixture(scope="session")
+def bird_small_golden(reference_root):
+    """bird_small decoded with the PINNED golden-test variant (float DCT +
+    fancy upsampling + BT.709-trunc; tools/decoder_sweep.py)."""
+    from sift_features_tpu.io.image import load_gray
+
+    return load_gray(f"{reference_root}/images/bird_small.jpg", "golden")
+
+
+@pytest.fixture(scope="session")
+def tree_small_golden(reference_root):
+    from sift_features_tpu.io.image import load_gray
+
+    return load_gray(f"{reference_root}/images/tree_small.jpg", "golden")

@@ -14,13 +14,32 @@ from sift_features_tpu.oracle import oracle
 from sift_features_tpu.oracle.processing import NumpyProcessing
 
 
+def _canon_order(kps, desc):
+    """Canonical (x, y, size)-sorted order, like the reference's own snapshot
+    test (lib.rs:1021-1031): the pipeline does not guarantee emission order
+    (a single ULP flip in Newton convergence can swap two candidates' slots),
+    so parity is asserted on the sorted lists. Keys are rounded to the
+    snapshot's 4 decimals so ULP-level field noise cannot reorder the sort."""
+    key = np.round(kps[:, :3].astype(np.float64), 4)
+    order = np.lexsort((key[:, 2], key[:, 1], key[:, 0]))
+    return kps[order], desc[order]
+
+
 def _compare(img, kp_tol, desc_row_frac, count_slack=0):
     kps_j, desc_j = extractor.extract(img)
     kps_o, desc_o = oracle.sift(img, proc=NumpyProcessing)
     assert abs(len(kps_j) - len(kps_o)) <= count_slack, (len(kps_j), len(kps_o))
     if len(kps_j) == len(kps_o):
-        np.testing.assert_allclose(kps_j, kps_o, rtol=0, atol=kp_tol)
-        frac = (desc_j == desc_o).all(axis=1).mean()
+        kj, dj = _canon_order(kps_j, desc_j)
+        ko, do = _canon_order(kps_o, desc_o)
+        cols = [0, 1, 2, 4]
+        np.testing.assert_allclose(kj[:, cols], ko[:, cols], rtol=0,
+                                   atol=kp_tol)
+        # angle: histogram ULP noise is amplified by the peak-parabola
+        # interpolation (measured up to ~0.02 deg on one keypoint in 223)
+        np.testing.assert_allclose(kj[:, 3], ko[:, 3], rtol=0,
+                                   atol=max(kp_tol, 0.05))
+        frac = (dj == do).all(axis=1).mean()
         assert frac >= desc_row_frac, f"desc rows byte-exact: {frac}"
     return kps_j, desc_j
 
@@ -53,7 +72,7 @@ def test_extractor_stage_counters(bird_small_cv2):
     assert n_emit.sum() == np.asarray(res["valid"])[0].sum()
 
 
-@pytest.mark.slow
+@pytest.mark.mid
 def test_extractor_vs_oracle_full(bird_small_cv2):
     _compare(bird_small_cv2, kp_tol=1e-3, desc_row_frac=0.98)
 

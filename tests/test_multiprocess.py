@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 WORKER = r"""
 import os, sys
@@ -76,6 +77,7 @@ print(f"proc {pid} OK ({len(qi)} matches, ring hops crossed processes)",
 """
 
 
+@pytest.mark.mid
 def test_two_process_ring_match(tmp_path):
     wpath = tmp_path / "worker.py"
     wpath.write_text(WORKER)

@@ -64,9 +64,9 @@ def test_oracle_matches_cv2_sift(bird_small_cv2, oracle_result_cv2gray):
     assert np.median(desc_dists) < 30, np.median(desc_dists)
 
 
-def test_oracle_golden_correspondence(bird_small, reference_root):
-    g_kps, g_desc = load_golden(reference_root, "bird_small")
-    kps, desc = oracle.sift(bird_small)
+def _golden_correspondence(img, reference_root, name):
+    g_kps, g_desc = load_golden(reference_root, name)
+    kps, desc = oracle.sift(img)
     assert abs(len(kps) - len(g_kps)) <= 10
     used = np.zeros(len(kps), bool)
     corr = 0
@@ -81,9 +81,25 @@ def test_oracle_golden_correspondence(bird_small, reference_root):
             corr += 1
             desc_l2.append(np.linalg.norm(
                 desc[j].astype(np.float32) - g_desc[gi].astype(np.float32)))
-    frac = corr / len(g_kps)
-    assert frac >= 0.84, f"golden correspondence {frac:.3f}"
     assert np.median(desc_l2) < 30  # same feature; inter-feature distance ~450
+    return corr / len(g_kps)
+
+
+def test_oracle_golden_correspondence(bird_small_golden, reference_root):
+    """Floors pinned to the decoder-sweep winner (float DCT + fancy
+    upsampling, tools/decoder_sweep.py round 3: bird 0.871 / tree 0.935);
+    any decoder or pipeline regression drops below them. The residual gap to
+    1.0 is the irreducible zune-jpeg-vs-libjpeg stage-0 decode difference
+    (module docstring)."""
+    frac = _golden_correspondence(bird_small_golden, reference_root,
+                                  "bird_small")
+    assert frac >= 0.86, f"golden correspondence {frac:.3f}"
+
+
+def test_oracle_golden_correspondence_tree(tree_small_golden, reference_root):
+    frac = _golden_correspondence(tree_small_golden, reference_root,
+                                  "tree_small")
+    assert frac >= 0.93, f"golden correspondence {frac:.3f}"
 
 
 def test_oracle_features_limit(bird_small_cv2):

@@ -208,3 +208,34 @@ def test_determinism_across_mesh_shapes(bird_small_cv2):
                 np.testing.assert_array_equal(
                     np.asarray(res[key])[mk], np.asarray(base[key])[mk],
                     err_msg=f"mesh ({nd},{ns}) {key}")
+
+
+@pytest.mark.mid
+def test_mesh_equality_one_case(bird_small_cv2):
+    """Mid-tier cut of test_determinism_across_mesh_shapes: ONE sharded mesh
+    (data=2, space=2) vs the unsharded step, canonical keypoint-set compare.
+    Catches distribution regressions per-iteration without the full
+    slow-tier sweep."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    imgs = _imgs(bird_small_cv2, b=4)
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(imgs.shape[1] * 2, imgs.shape[2] * 2)
+
+    def run(n_data, n_space):
+        mesh = make_mesh(n_data=n_data, n_space=n_space)
+        return extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 32)
+
+    base = run(1, 1)
+    res = run(2, 2)
+
+    def canon(r, f):
+        v = np.asarray(r["valid"])[f]
+        k = np.asarray(r["kps"])[f][v]
+        d = np.asarray(r["desc"])[f][v]
+        comb = np.concatenate([k, d.astype(np.float32)], axis=1)
+        return comb[np.lexsort(comb.T[::-1])]
+
+    for f in range(imgs.shape[0]):
+        np.testing.assert_array_equal(canon(res, f), canon(base, f),
+                                      err_msg=f"mesh (2,2) frame {f}")

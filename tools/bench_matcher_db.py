@@ -44,9 +44,7 @@ def main():
 
     import os
 
-    os.environ["SIFT_INT8_MATCH"] = "1"     # force the s8 dot for the u8 leg
-    o8 = timed("int8 MXU", lambda a, b: _match_jit(a, b, True), dt8, dq8)
-    os.environ["SIFT_INT8_MATCH"] = "0"
+    o8 = timed("int8 MXU", lambda a, b: _match_jit(a, b, True, True), dt8, dq8)
     of = timed("f32 MXU", lambda a, b: _match_jit(a, b, True), dtf, dqf)
     bt8, d8, k8 = (np.asarray(x) for x in o8)
     btf, df, kf = (np.asarray(x) for x in of)

@@ -1,7 +1,5 @@
-"""Micro-profile of individual detection/description ops at octave-0 1080p
-scale on the real chip, with honest (host-transfer) sync. Also prints the
-per-octave stage counters for a real 1080p frame so capacities can be sized.
-
+"""Stage micro-profile: the fused-path stages at octave-0 1080p scale
+(successor of the round-1/2 profile_ops generations, now the single harness).
 Usage: python tools/profile_ops.py
 """
 
@@ -20,74 +18,74 @@ def main():
     from sift_features_tpu.config import DEFAULT_CONFIG
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops import extrema as ext_ops
-    from sift_features_tpu.ops import orientation as ori_ops
+    from sift_features_tpu.ops.pallas.extrema_kernel import extrema_words
+    from sift_features_tpu.ops.pallas.orientation_kernel import (
+        orientation_histograms_bucketed, orientation_histograms_pallas)
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_bucketed, descriptor_hist_pallas)
+    from sift_features_tpu.ops.pallas.pyramid_kernel import (
+        build_octave_padded, reflect_pad_image)
 
     cfg = DEFAULT_CONFIG
+    # octave-0 padded dims for a 1080p frame (seed 2160x3840, P=56)
+    HP, WP = 2304, 4096
     H, W = 2160, 3840
-    S = 6
+    P = desc_ops.PAD_DESC
     rng = np.random.RandomState(0)
 
     def timed(name, fn, *args, iters=4):
-        f = jax.jit(fn)
-        out = f(*args)
-        float(jax.tree_util.tree_leaves(out)[0].ravel()[0].astype(jnp.float32))
+        fn = jax.jit(fn)
+        out = fn(*args)
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         t0 = time.perf_counter()
         s = None
         for _ in range(iters):
-            out = f(*args)
+            out = fn(*args)
             s = jax.tree_util.tree_leaves(out)[0].ravel()[0]
-        float(s.astype(jnp.float32))
-        dt = (time.perf_counter() - t0) / iters
-        print(f"{name:>28s}: {dt * 1e3:9.3f} ms")
+        float(np.asarray(s))
+        print(f"{name:>28s}: {(time.perf_counter() - t0) / iters * 1e3:9.3f} ms",
+              flush=True)
+        return out
 
-    gauss = jnp.asarray(rng.rand(S, H, W).astype(np.float32))
-    dog = gauss[1:] - gauss[:-1]
-    dog = jax.block_until_ready(dog)
+    base = jnp.asarray(rng.rand(HP, WP).astype(np.float32))
+    g, d = timed("pyramid octave0 (fused)", lambda b: build_octave_padded(b, cfg), base)
+    dog = jax.block_until_ready(jnp.asarray(rng.randn(5, HP, WP).astype(np.float32) * 0.05))
 
-    timed("extrema_mask", lambda d: ext_ops.extrema_mask(d, cfg), dog)
-    timed("dense_cube_fields",
-          lambda d: ext_ops._dense_cube_fields(d, cfg)["off_s"], dog)
+    b = cfg.image_border
+    bounds = (P + b, P + H - b, P + b, P + W - b)
+    words = timed("extrema_words", lambda dd: extrema_words(dd, bounds, 3), dog)
+    K = 32768
+    timed("find_candidates_words", lambda ww: ext_ops.find_candidates_words(ww, K)[4], words)
 
-    K, K2, M = 32768, 8192, 8192
-    s_idx = jnp.asarray(rng.randint(1, 4, K2).astype(np.int32))
-    y = jnp.asarray(rng.randint(16, H - 16, K2).astype(np.int32))
-    x = jnp.asarray(rng.randint(16, W - 16, K2).astype(np.int32))
-    kp_scale = jnp.asarray((rng.rand(K2) * 2 + 2).astype(np.float32))
-    valid = jnp.ones(K2, bool)
+    s0, y0, x0, valid, count = ext_ops.find_candidates_words(words, K)
+    n_real = int(np.asarray(count))
+    print(f"  (real extrema count on noise: {n_real})")
+    s0, y0, x0, valid = (jax.block_until_ready(v) for v in (s0, y0, x0, valid))
+    timed("refine_tpu 5 steps", lambda: ext_ops.refine_tpu(dog, s0, y0, x0, valid, P, H, W, cfg)["response"])
 
-    gp = jnp.pad(gauss, ((0, 0), (desc_ops.PAD_DESC, desc_ops.PAD_DESC),
-                         (desc_ops.PAD_DESC, desc_ops.PAD_DESC)))
-    gp = jax.block_until_ready(gp)
+    # survivor-ish batch for window kernels
+    K2 = 8192
+    n_surv = 7000
+    sc = rng.randint(1, 4, K2).astype(np.int32)
+    ks = (1.6 * 2.0 ** ((sc + (rng.rand(K2) - 0.5) * 0.999) / 3.0)).astype(np.float32)
+    yc = rng.randint(0, H, K2).astype(np.int32)
+    xc = rng.randint(0, W, K2).astype(np.int32)
+    gp = jax.block_until_ready(g)
+    sj, yj, xj, kj = map(jnp.asarray, (sc, yc, xc, ks))
+    cnt = jnp.int32(n_surv)
 
-    timed("orientation_histograms(8k)",
-          lambda g, s_, y_, x_, ks, v: ori_ops.orientation_histograms(
-              g, H, W, s_, y_, x_, ks, v, cfg, pad=desc_ops.PAD_DESC),
-          gp, s_idx, y, x, kp_scale, valid, iters=2)
+    timed("orientation full-window", lambda: orientation_histograms_pallas(
+        gp, sj - 1, yj, xj, kj, cnt, H, W, P, cfg))
+    timed("orientation bucketed", lambda: orientation_histograms_bucketed(
+        gp, sj - 1, sj, yj, xj, kj, cnt, H, W, P, cfg))
 
-    sM = jnp.asarray(rng.randint(1, 4, M).astype(np.int32))
-    xM = jnp.asarray(rng.randint(16, W - 16, M).astype(np.float32))
-    yM = jnp.asarray(rng.randint(16, H - 16, M).astype(np.float32))
-    ksM = jnp.asarray((rng.rand(M) * 2 + 2).astype(np.float32))
-    aM = jnp.asarray((rng.rand(M) * 360).astype(np.float32))
-    vM = jnp.ones(M, bool)
-
-    timed("descriptor_batch_8k(b32)",
-          lambda g, s_, x_, y_, k_, a_, v_: desc_ops.descriptor_batch_blocked(
-              g, H, W, s_, x_, y_, k_, a_, v_, cfg, block=32),
-          gp, sM, xM, yM, ksM, aM, vM, iters=2)
-
-    timed("compaction(3HW->32k)",
-          lambda m: ext_ops.find_candidates(m, K)[0],
-          jnp.asarray(rng.rand(3, H, W) > 0.999))
-
-    # real-image per-octave counters at 1080p
-    from bench import make_frames
-    from sift_features_tpu.models.extractor import extract_batch
-
-    res = extract_batch(make_frames(1), cfg)
-    print("n_candidates:", np.asarray(res["n_candidates"])[0].tolist())
-    print("n_survivors :", np.asarray(res["n_survivors"])[0].tolist())
-    print("n_emitted   :", np.asarray(res["n_emitted"])[0].tolist())
+    M = 8192
+    n_emit = 7000
+    ang = jnp.asarray((rng.rand(M) * 360).astype(np.float32))
+    timed("descriptor full-window", lambda: descriptor_hist_pallas(
+        gp, sj - 1, xj, yj, kj, ang, cnt, H, W, P, cfg))
+    timed("descriptor bucketed", lambda: descriptor_hist_bucketed(
+        gp, sj - 1, sj, xj, yj, kj, ang, cnt, H, W, P, cfg))
 
 
 if __name__ == "__main__":
