@@ -63,6 +63,26 @@ class SiftConfig:
     # keypoint set is bit-identical — only descriptor bytes/angles drift by
     # the bf16 rounding of the sampled pixels; deltas measured in BENCH.md).
     gather_dtype: str = "float32"
+    # End-to-end pyramid STORAGE dtype on the fused TPU path: "bfloat16"
+    # stores the Gaussian + DoG stacks in bf16 (tap/Newton/window ARITHMETIC
+    # stays f32 — kernels upcast on load). Halves pyramid HBM traffic but is
+    # NOT a parity mode: bf16 DoG quantization perturbs the Newton
+    # refinement's central-difference Hessians (measured round 2: large
+    # keypoint losses); deltas are tabled in BENCH.md. Tile-grouped
+    # refinement requires f32, so this mode takes the per-step refine path.
+    storage_dtype: str = "float32"
+    # Newton-refinement kernel strategy on TPU: "tile" = tile-grouped kernel
+    # (all 5 steps from VMEM-resident DoG windows, one launch; escapes fall
+    # back to the per-step kernel), "step" = per-candidate per-step DMA
+    # kernel only. Identical outputs; "tile" removes the dominant per-DMA
+    # latency cost of the refine stage.
+    refine_mode: str = "tile"
+    # Orientation/descriptor window kernel strategy on TPU: "packed" = lane-
+    # packed kernels (p = 128//window windows per vector register — buckets
+    # too wide to pack fall back per-kernel), "perkey" = one window per
+    # register. Identical results; "packed" amortizes the VPU bin-reduction
+    # loops that dominate these stages.
+    window_kernel: str = "packed"
 
     @property
     def descriptor_size(self) -> int:

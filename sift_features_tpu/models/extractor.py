@@ -97,7 +97,8 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         else:
             mask = ext_ops.extrema_mask(dog_p, cfg, bounds=bounds)
             s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
-        ref = ext_ops.refine_tpu(dog_p, s0, y0, x0, valid, P, h, w, cfg)
+        ref = ext_ops.refine_tpu_auto(dog_p, s0, y0, x0, valid, P, h, w,
+                                       cfg)
         coord_off = P
     else:
         if dog is None:
@@ -185,7 +186,8 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
 
 def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
-                           stages: str = "full", gauss_win=None):
+                           stages: str = "full", gauss_win=None,
+                           describe: bool = True):
     """Frame-batched single-octave detection on fused-pyramid padded stacks.
 
     gauss_p/dog_p: (B, 5, H_pad, W_pad) (gauss slot k = level k+1). All
@@ -235,7 +237,7 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
 
     dog_flat = dog_p.reshape(B * n_planes, hp, wp)
     poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K)
-    ref = ext_ops.refine_tpu(
+    ref = ext_ops.refine_tpu_auto(
         dog_flat, s0.reshape(-1), y0.reshape(-1), x0.reshape(-1),
         valid.reshape(-1), P, h, w, cfg, plane_off=poff_k)
     keep = (ref["keep"] & valid.reshape(-1)).reshape(B, K)
@@ -298,13 +300,6 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
 
     xi = rust_round(x_oct).astype(jnp.int32)
     yi = rust_round(y_oct).astype(jnp.int32)
-    poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, M)
-    hist128 = descriptor_hist_bucketed(
-        gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
-        xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
-        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg,
-        live=evalid.reshape(-1))
-    descs = desc_ops.finalize_descriptor(hist128, cfg).reshape(B, M, -1)
 
     osf = F32(2.0 ** octave)
     dm = F32(cfg.delta_min)
@@ -315,14 +310,50 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
         kp_angle,
         kp_resp,
     ], axis=-1)
-    return {
-        "kps": kps, "desc": descs, "valid": evalid,
+    res = {
+        "kps": kps, "valid": evalid,
         "n_candidates": n_cand, "n_survivors": n_surv, "n_emitted": n_emit,
     }
+    if not describe:
+        # budgeted path (C15, lib.rs:156-161): the global response top-K is
+        # taken BEFORE descriptors; return the descriptor-kernel inputs so
+        # only selected keypoints are described later
+        res["desc_in"] = {"kp_s": kp_s, "xi": xi, "yi": yi, "kp_sc": kp_sc,
+                          "kp_angle": kp_angle}
+        res["win_ctx"] = (gauss_flat, win_planes)
+        return res
+
+    poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, M)
+    hist128 = descriptor_hist_bucketed(
+        gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
+        xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
+        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg,
+        live=evalid.reshape(-1))
+    res["desc"] = desc_ops.finalize_descriptor(hist128, cfg).reshape(B, M, -1)
+    return res
+
+
+def _describe_subset(gauss_flat, win_planes: int, fields, live, cfg, h, w):
+    """Describe a compacted keypoint subset: fields are (B, C) arrays (the
+    desc_in pytree gathered at selected rows), live the (B, C) validity
+    mask. Same kernel + finalization as the full path."""
+    from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
+
+    B, C = fields["kp_s"].shape
+    P = desc_ops.PAD_DESC
+    poff = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, C)
+    hist128 = descriptor_hist_bucketed(
+        gauss_flat, (fields["kp_s"] - 1).reshape(-1) + poff,
+        fields["kp_s"].reshape(-1), fields["xi"].reshape(-1),
+        fields["yi"].reshape(-1), fields["kp_sc"].reshape(-1),
+        fields["kp_angle"].reshape(-1), jnp.sum(live), h, w, P, cfg,
+        live=live.reshape(-1))
+    return desc_ops.finalize_descriptor(hist128, cfg).reshape(B, C, -1)
 
 
 def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
-                         cfg: SiftConfig, stages: str = "full"):
+                         cfg: SiftConfig, stages: str = "full",
+                         budget: int | None = None):
     """Frame-batched TPU pipeline: every Pallas stage launches ONCE per
     octave for the whole batch (vs. once per frame per octave under
     lax.map) — grid-step and launch overhead dominate the small octaves on
@@ -335,7 +366,11 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
     sigmas = cfg.octave_sigmas()
     P = desc_ops.PAD_DESC
     initial = seeds
+    if cfg.storage_dtype == "bfloat16":
+        # bf16 pyramid storage (arithmetic stays f32 inside the kernels)
+        initial = seeds.astype(jnp.bfloat16)
     out = []
+    hw_list = []
     for o in range(n_octaves):
         h, w = initial.shape[-2], initial.shape[-1]
         h_pad = -(-(h + 2 * P) // 128) * 128
@@ -349,9 +384,11 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
             base = jax.vmap(lambda im: reflect_pad_image(
                 im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(initial)
             g, d, g16 = build_octave_padded_batched(
-                base, cfg, gather16=cfg.gather_dtype == "bfloat16")
+                base, cfg, gather16=(cfg.gather_dtype == "bfloat16"
+                                     and cfg.storage_dtype != "bfloat16"))
             out.append(_detect_octave_batched(g, d, o, cfg, (h, w), stages,
-                                              gauss_win=g16))
+                                              gauss_win=g16,
+                                              describe=budget is None))
             sp = cfg.scales_per_octave
             initial = g[:, sp - 1, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
         else:
@@ -373,14 +410,94 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
 
             res_o, initial = jax.lax.map(one, initial)
             out.append(res_o)
-    return {
-        "kps": jnp.concatenate([r["kps"] for r in out], axis=1),
-        "desc": jnp.concatenate([r["desc"] for r in out], axis=1),
-        "valid": jnp.concatenate([r["valid"] for r in out], axis=1),
+        hw_list.append((h, w))
+    counters = {
         "n_candidates": jnp.stack([r["n_candidates"] for r in out], axis=1),
         "n_survivors": jnp.stack([r["n_survivors"] for r in out], axis=1),
         "n_emitted": jnp.stack([r["n_emitted"] for r in out], axis=1),
     }
+    if budget is None:
+        return {
+            "kps": jnp.concatenate([r["kps"] for r in out], axis=1),
+            "desc": jnp.concatenate([r["desc"] for r in out], axis=1),
+            "valid": jnp.concatenate([r["valid"] for r in out], axis=1),
+            **counters,
+        }
+    return _assemble_budget(out, hw_list, budget, cfg, counters)
+
+
+def _assemble_budget(out, hw_list, budget: int, cfg: SiftConfig, counters):
+    """Global per-frame response top-K across octaves, then describe ONLY
+    the selected keypoints (reference order: truncate BEFORE descriptors,
+    lib.rs:156-161). Octaves that already carry full descriptors (tiny-
+    octave XLA fallback) are gathered directly; fused octaves run the
+    descriptor kernel on the compacted selected subset. Output keypoints
+    are response-sorted (ties broken by emission index, like the host-side
+    stable sort); src_idx maps rows back to emission order."""
+    B = out[0]["valid"].shape[0]
+    resp = jnp.concatenate(
+        [jnp.where(r["valid"], r["kps"][..., 4], -jnp.inf) for r in out],
+        axis=1)
+    budget = min(budget, resp.shape[1])
+    kps_all = jnp.concatenate([r["kps"] for r in out], axis=1)
+    top_val, top_idx = jax.lax.top_k(resp, budget)         # (B, budget)
+    tvalid = top_val > -jnp.inf
+    out_kps = jnp.take_along_axis(kps_all, top_idx[..., None], axis=1)
+    out_kps = jnp.where(tvalid[..., None], out_kps, F32(0.0))
+
+    out_desc = jnp.zeros((B, budget, cfg.descriptor_size), jnp.uint8)
+    off = 0
+    for r, (h, w) in zip(out, hw_list):
+        M_o = r["valid"].shape[1]
+        member = tvalid & (top_idx >= off) & (top_idx < off + M_o)
+        local = jnp.clip(top_idx - off, 0, M_o - 1)        # (B, budget)
+        if "desc" in r:
+            d_rows = jnp.take_along_axis(r["desc"], local[..., None], axis=1)
+        else:
+            C = min(budget, M_o)
+            midx, mvalid, _ = jax.vmap(
+                lambda m: compact_indices(m, C))(member)   # (B, C)
+            sel = jnp.take_along_axis(local, midx, axis=1)
+            fields = {k: jnp.take_along_axis(v, sel, axis=1)
+                      for k, v in r["desc_in"].items()}
+            gauss_flat, win_planes = r["win_ctx"]
+            desc_c = _describe_subset(gauss_flat, win_planes, fields,
+                                      mvalid, cfg, h, w)   # (B, C, D)
+            rank = jnp.cumsum(member, axis=1) - 1
+            d_rows = jnp.take_along_axis(
+                desc_c, jnp.clip(rank, 0, C - 1)[..., None], axis=1)
+        out_desc = jnp.where(member[..., None], d_rows, out_desc)
+        off += M_o
+    return {
+        "kps": out_kps, "desc": out_desc, "valid": tvalid,
+        "src_idx": jnp.where(tvalid, top_idx, -1),
+        **counters,
+    }
+
+
+def _truncate_result(res, budget: int):
+    """Post-hoc device top-K truncation of a full (unbudgeted) result — the
+    budget contract for paths that already computed every descriptor (the
+    XLA/CPU lax.map path). Same output semantics as _assemble_budget."""
+    resp = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
+    budget = min(budget, resp.shape[1])
+    top_val, top_idx = jax.lax.top_k(resp, budget)
+    tvalid = top_val > -jnp.inf
+    out = {
+        "kps": jnp.where(
+            tvalid[..., None],
+            jnp.take_along_axis(res["kps"], top_idx[..., None], axis=1),
+            F32(0.0)),
+        "desc": jnp.where(
+            tvalid[..., None],
+            jnp.take_along_axis(res["desc"], top_idx[..., None], axis=1),
+            jnp.uint8(0)),
+        "valid": tvalid,
+        "src_idx": jnp.where(tvalid, top_idx, -1),
+    }
+    for k in ("n_candidates", "n_survivors", "n_emitted"):
+        out[k] = res[k]
+    return out
 
 
 def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
@@ -435,25 +552,42 @@ def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
     return res
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _extract_batch_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
+def _extract_batch_core(imgs_u8: jnp.ndarray, n_octaves: int,
+                        cfg: SiftConfig, budget: int | None = None):
+    """Trace-level batched pipeline dispatch — shared by the single-chip jit
+    wrapper AND the sharded step bodies (parallel.pipeline/extract run this
+    inside shard_map so every chip gets the fast fused program)."""
     if cfg.use_pallas and jax.devices()[0].platform == "tpu":
         # frame-batched fused path: one kernel launch per stage per octave
-        return _extract_batch_fused(imgs_u8, n_octaves, cfg)
+        return _extract_batch_fused(imgs_u8, n_octaves, cfg, budget=budget)
     # lax.map (not vmap): each frame's ops are full-size dense kernels that
     # saturate the chip alone, and the Pallas kernels use manual DMA that
     # must not be batch-transformed.
-    return jax.lax.map(lambda im: _extract_single(im, n_octaves, cfg),
-                       imgs_u8)
+    res = jax.lax.map(lambda im: _extract_single(im, n_octaves, cfg),
+                      imgs_u8)
+    return res if budget is None else _truncate_result(res, budget)
 
 
-def extract_batch(imgs_u8, config: SiftConfig = DEFAULT_CONFIG):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _extract_batch_jit(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
+                       budget: int | None = None):
+    return _extract_batch_core(imgs_u8, n_octaves, cfg, budget)
+
+
+def extract_batch(imgs_u8, config: SiftConfig = DEFAULT_CONFIG,
+                  features_limit: int | None = None):
     """Device-side batched extraction: (B, H, W) u8 -> padded result pytree
-    (kps (B,N,5) f32, desc (B,N,128) u8, valid (B,N) bool, stage counters)."""
+    (kps (B,N,5) f32, desc (B,N,128) u8, valid (B,N) bool, stage counters).
+
+    features_limit: per-frame response top-K budget (C15, lib.rs:156-161).
+    On the fused TPU path the truncation happens BEFORE descriptor
+    computation, like the reference — only selected keypoints are described.
+    Budgeted results are response-sorted and carry src_idx (emission-order
+    index, -1 on invalid lanes)."""
     imgs_u8 = jnp.asarray(imgs_u8, jnp.uint8)
     h, w = imgs_u8.shape[-2], imgs_u8.shape[-1]
     n_oct = config.n_octaves(h * config.inv_delta_min, w * config.inv_delta_min)
-    return _extract_batch_jit(imgs_u8, n_oct, config)
+    return _extract_batch_jit(imgs_u8, n_oct, config, features_limit)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -512,12 +646,18 @@ def extract(img_u8, features_limit: int | None = None,
     emission order (octave-major scan order; response-sorted when limited).
     """
     img_u8 = np.asarray(img_u8)
-    res = extract_batch(img_u8[None], config)
+    res = extract_batch(img_u8[None], config, features_limit)
     kps = np.asarray(res["kps"])[0]
     desc = np.asarray(res["desc"])[0]
     valid = np.asarray(res["valid"])[0]
     kps, desc = kps[valid], desc[valid]
-    if features_limit is not None and features_limit < len(kps):
-        order = np.argsort(-kps[:, 4], kind="stable")[:features_limit]
-        kps, desc = kps[order], desc[order]
+    if features_limit is not None:
+        # reference semantics: the response sort applies only when the
+        # limit actually truncates (lib.rs:156-161); otherwise emission
+        # order is preserved — restore it via src_idx
+        n_total = int(np.asarray(res["n_emitted"])[0].sum())
+        if n_total <= features_limit:
+            src = np.asarray(res["src_idx"])[0][valid]
+            order = np.argsort(src, kind="stable")
+            kps, desc = kps[order], desc[order]
     return kps, desc

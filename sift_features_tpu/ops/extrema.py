@@ -243,9 +243,31 @@ def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG
     }
 
 
+def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
+                    h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
+                    plane_off=None):
+    """Dispatch between the tile-grouped whole-loop kernel (cfg.refine_mode
+    "tile"; ops.pallas.refine_tile_kernel) and the per-step kernel loop
+    (refine_tpu). Outputs are identical; "tile" is the fast path."""
+    # tile windows DMA with 8-row/128-lane aligned offsets; the clamped
+    # origins are only provably aligned when the stack dims are multiples
+    # (true for the fused-pyramid padded layout; the precomputed-pyramid
+    # pad_stack layout has arbitrary row counts and takes the step path)
+    tile_ok = (dog_padded.dtype == jnp.float32
+               and dog_padded.shape[-2] % 8 == 0
+               and dog_padded.shape[-1] % 128 == 0)
+    if cfg.refine_mode == "tile" and tile_ok:
+        from .pallas.refine_tile_kernel import refine_tile_tpu
+
+        return refine_tile_tpu(dog_padded, s0, y0, x0, valid, pad, h, w,
+                               cfg, plane_off=plane_off)
+    return refine_tpu(dog_padded, s0, y0, x0, valid, pad, h, w, cfg,
+                      plane_off=plane_off)
+
+
 def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
                h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
-               plane_off=None):
+               plane_off=None, interpret: bool = False):
     """TPU refinement loop driving the Pallas per-step kernel
     (ops.pallas.refine_kernel): same semantics as refine(), but positions are
     in PADDED stack coordinates and cube evaluation is a DMA'd vector kernel
@@ -273,11 +295,11 @@ def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
     def _run_step(s_idx, y_, x_, act):
         if K <= CHUNK:
             return refine_step_pallas(dog_padded, s_idx, y_, x_, act,
-                                      w_pad, cfg)
+                                      w_pad, cfg, interpret)
         return jnp.concatenate(
             [refine_step_pallas(dog_padded, s_idx[i:i + CHUNK],
                                 y_[i:i + CHUNK], x_[i:i + CHUNK],
-                                act[i:i + CHUNK], w_pad, cfg)
+                                act[i:i + CHUNK], w_pad, cfg, interpret)
              for i in range(0, K, CHUNK)], axis=0)
 
     fields = None

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, SiftConfig
-from ..models.extractor import _extract_single
+from ..models.extractor import _extract_batch_core, _extract_single
 from ..ops import pyramid as pyr_ops
 from ..ops.gaussian import cv_ksize
 from ..ops.resize import resize_nearest_half
@@ -32,7 +32,9 @@ from .halo import gaussian_blur_sharded
 def _extract_dp_jit(imgs: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
                     mesh: Mesh):
     def shard_body(im_shard):
-        return jax.lax.map(lambda im: _extract_single(im, n_octaves, cfg), im_shard)
+        # each data member runs the full batched pipeline on its frame shard
+        # (fused Pallas program on TPU; dense XLA under the CPU test mesh)
+        return _extract_batch_core(im_shard, n_octaves, cfg)
 
     return jax.shard_map(
         shard_body, mesh=mesh,

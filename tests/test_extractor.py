@@ -58,9 +58,19 @@ def test_extractor_determinism(bird_small_cv2):
 
 def test_extractor_features_limit(bird_small_cv2):
     img = bird_small_cv2[:96, :128]
+    k_all, d_all = extractor.extract(img)
     kps, desc = extractor.extract(img, features_limit=5)
     assert kps.shape == (5, 5) and desc.shape == (5, 128)
     assert np.all(np.diff(kps[:, 4]) <= 0)
+    # budgeted == host-side stable response sort + truncate (C15)
+    order = np.argsort(-k_all[:, 4], kind="stable")[:5]
+    np.testing.assert_array_equal(kps, k_all[order])
+    np.testing.assert_array_equal(desc, d_all[order])
+    # limit >= N: emission order preserved (the reference only sorts when
+    # the limit actually truncates, lib.rs:156-161)
+    k_big, d_big = extractor.extract(img, features_limit=10 ** 6)
+    np.testing.assert_array_equal(k_big, k_all)
+    np.testing.assert_array_equal(d_big, d_all)
 
 
 def test_extractor_stage_counters(bird_small_cv2):
