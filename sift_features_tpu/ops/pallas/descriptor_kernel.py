@@ -320,6 +320,8 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     live: optional (M,) bool validity mask replacing the default
     lane < count prefix (used when several frames' prefix-valid buffers are
     concatenated)."""
+    from .descriptor_packed import descriptor_hist_packed, pack_p
+
     M = s_img.shape[0]
     if live is None:
         live = jnp.arange(M, dtype=jnp.int32) < count
@@ -327,9 +329,10 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     for si, r_max in bucket_radii(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, M)
-        hb = descriptor_hist_pallas(
-            gauss_padded, s_img[idxb], xi[idxb], yi[idxb], kp_scale[idxb],
-            angle[idxb], countb, h, w, pad, cfg, interpret, r_max)
+        packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
+        fn = (descriptor_hist_packed if packed else descriptor_hist_pallas)
+        hb = fn(gauss_padded, s_img[idxb], xi[idxb], yi[idxb], kp_scale[idxb],
+                angle[idxb], countb, h, w, pad, cfg, interpret, r_max)
         # rank of each original lane inside its bucket
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)

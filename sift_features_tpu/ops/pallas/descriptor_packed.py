@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: LANE-PACKED 128-bin SIFT descriptor histograms.
+
+Same packing strategy as orientation_packed.py applied to the descriptor
+window kernel (descriptor_kernel.py): p = 128//wn whole keypoint windows
+ride side-by-side in the 128-lane registers, so the elementwise
+rotate/trilinear math and the 128 masked bin reductions each serve p
+keypoints per pass. For the default config the s=1/2 scale buckets pack
+p = 2 (wn = 51/63 <= 64); the s=3 bucket (wn = 79) stays on the
+per-keypoint kernel — descriptor_hist_bucketed dispatches per bucket.
+
+Layout/numerics notes (see orientation_packed.py for the full story):
+  - per-keypoint f32 params (hist_width, radius, rotated-frame sin/cos) are
+    computed once per block on the (1, BK) param rows and selected into
+    per-lane vectors by masked lane reductions — no vector->scalar syncs;
+  - per-pixel math is op-for-op identical to descriptor_kernel._kernel;
+  - each bin's sublane reduction produces a (1, 128) packed row; the
+    (128, 128) row stack H is reduced per keypoint by rolling its lane
+    group to lane 0 first, so the lane-reduction tree pairs values exactly
+    like the per-keypoint kernel's window-at-lane-0 reduction;
+  - the output block is TRANSPOSED (D, BK); the wrapper transposes back.
+
+Reference math: compute_descriptor (lib.rs:785-948).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import DEFAULT_CONFIG, SiftConfig
+from .util import atan2_f32, round_half_away
+from ..descriptor import DEG2RAD_F32
+from .descriptor_kernel import _subl
+
+F32 = jnp.float32
+I32 = jnp.int32
+LANES = 128
+LANES_DMA = 256
+BK = 128                    # keypoints per grid block (output lane width)
+
+
+def pack_p(r_max: int) -> int:
+    """Windows per 128-lane register for this bucket radius."""
+    return LANES // (2 * r_max + 3)
+
+
+def _kernel(count_ref, s_ref, y_ref, x_ref,
+            scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
+            n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max, p, stride,
+            BK, kpad, al=8):
+    blk = pl.program_id(0)
+    base = blk * BK
+    wn = 2 * r_max + 3
+    subl = _subl(wn, al)
+    n = wn - 2
+    n_groups = -(-BK // p)
+    D = n_hist * n_hist * n_bins
+
+    def cand(g, j):
+        return jnp.minimum(base + g * p + j, kpad - 1)
+
+    # static per-lane layout vectors (iota-built: no captured constants)
+    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+    grp_l = lane // stride
+    m_l = lane - grp_l * stride
+    colvalid_l = ((grp_l < p) & (m_l >= 1) & (m_l <= wn - 2))
+    dxx_l = jnp.where(colvalid_l, m_l - 1 - r_max, jnp.int32(10 ** 6))
+    dyy_c = (jax.lax.broadcasted_iota(I32, (n, 1), 0) - r_max)
+    dyf_c = dyy_c.astype(F32)
+    dxf_l = dxx_l.astype(F32)
+
+    # per-block param vectors (one vector pass for all BK keypoints);
+    # identical f32 op order to the per-keypoint kernel's scalar math
+    scale_row = scale_blk[pl.ds(blk, 1), :]                 # (1, BK)
+    angle_row = angle_blk[pl.ds(blk, 1), :]
+    orientation_row = F32(360.0) - angle_row
+    hw_row = F32(lambda_descr) * scale_row
+    radius_row = round_half_away(
+        hw_row * np.float32(np.sqrt(np.float32(2.0)))
+        * F32(n_hist + 1) * F32(0.5))
+    ori_rad_row = orientation_row * DEG2RAD_F32
+    sin_row = jnp.sin(ori_rad_row) / hw_row
+    cos_row = jnp.cos(ori_rad_row) / hw_row
+
+    def start_y(i):
+        return y_ref[i] + pad - r_max - 1
+
+    def start_x(i):
+        return x_ref[i] + pad - r_max - 1
+
+    def copies(slot, g, j):
+        i = cand(g, j)
+        ys_al = pl.multiple_of((start_y(i) // al) * al, al)
+        xs = start_x(i)
+        xs_al = pl.multiple_of(
+            jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA), 128)
+        need2 = (xs - xs_al) + wn > LANES
+        dst0 = j * LANES_DMA
+        c1 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl), pl.ds(xs_al, LANES)],
+            win_ref.at[pl.ds(slot * subl, subl), dst0:dst0 + LANES],
+            sem.at[slot, j, 0])
+        c2 = pltpu.make_async_copy(
+            gauss_hbm.at[s_ref[i], pl.ds(ys_al, subl),
+                         pl.ds(xs_al + LANES, LANES)],
+            win_ref.at[pl.ds(slot * subl, subl), dst0 + LANES:dst0 + LANES_DMA],
+            sem.at[slot, j, 1])
+        return c1, c2, need2
+
+    def dma_start_group(slot, g):
+        for j in range(p):
+            c1, c2, need2 = copies(slot, g, j)
+            c1.start()
+
+            @pl.when(need2)
+            def _():
+                c2.start()
+
+    def dma_wait_group(slot, g):
+        for j in range(p):
+            c1, c2, need2 = copies(slot, g, j)
+            c1.wait()
+
+            @pl.when(need2)
+            def _():
+                c2.wait()
+
+    count = count_ref[0]
+    n_act = jnp.clip(-(-(count - base) // p), 0, n_groups)
+
+    def compute_group(slot, g, O):
+        packed = jnp.zeros((subl, LANES), F32)
+        radius_v = jnp.zeros((1, LANES), F32)
+        sin_v = jnp.zeros((1, LANES), F32)
+        cos_v = jnp.zeros((1, LANES), F32)
+        ori_v = jnp.zeros((1, LANES), F32)
+        yi_v = jnp.zeros((1, LANES), I32)
+        xi_v = jnp.zeros((1, LANES), I32)
+        live_v = jnp.zeros((1, LANES), jnp.bool_)
+        win_all = win_ref[pl.ds(slot * subl, subl), :].astype(F32)
+        for j in range(p):
+            i = cand(g, j)
+            gm = grp_l == j
+            ys = start_y(i)
+            xs = start_x(i)
+            ro = ys - (ys // al) * al
+            co = xs - jnp.minimum((xs // 128) * 128, w_pad - LANES_DMA)
+            wj = win_all[:, j * LANES_DMA:(j + 1) * LANES_DMA]
+            wj = pltpu.roll(wj, jax.lax.rem(subl - ro, jnp.int32(subl)),
+                            axis=0)
+            wj = pltpu.roll(
+                wj, jax.lax.rem(LANES_DMA - co + j * stride,
+                                jnp.int32(LANES_DMA)), axis=1)
+            packed = packed + jnp.where(gm, wj[:, 0:LANES], F32(0.0))
+
+            li = g * p + j
+            sel = (lane == li)
+
+            def pick(row):
+                return jnp.sum(jnp.where(sel, row, F32(0.0)),
+                               axis=1, keepdims=True)
+
+            radius_v = radius_v + jnp.where(gm, pick(radius_row), F32(0.0))
+            sin_v = sin_v + jnp.where(gm, pick(sin_row), F32(0.0))
+            cos_v = cos_v + jnp.where(gm, pick(cos_row), F32(0.0))
+            ori_v = ori_v + jnp.where(gm, pick(orientation_row), F32(0.0))
+            yi_v = yi_v + jnp.where(gm, y_ref[i], 0)
+            xi_v = xi_v + jnp.where(gm, x_ref[i], 0)
+            live_v = live_v | (gm & (base + g * p + j < count))
+
+        rows_c = packed[1:1 + n, :]
+        gx = (pltpu.roll(rows_c, LANES - 1, axis=1)
+              - pltpu.roll(rows_c, 1, axis=1))
+        gy = packed[0:n, :] - packed[2:2 + n, :]
+
+        col_rot = dxf_l * cos_v - dyf_c * sin_v              # (n, 128)
+        row_rot = dxf_l * sin_v + dyf_c * cos_v
+        half = F32(n_hist / 2)
+        row_bin = row_rot + half
+        col_bin = col_rot + half
+
+        y_img = yi_v + dyy_c
+        x_img = xi_v + dxx_l
+        ok = ((jnp.abs(dyy_c).astype(F32) <= radius_v)
+              & (jnp.abs(dxx_l).astype(F32) <= radius_v)
+              & (row_bin > F32(-0.5)) & (row_bin < F32(n_hist + 0.5))
+              & (col_bin > F32(-0.5)) & (col_bin < F32(n_hist + 0.5))
+              & (y_img > 0) & (y_img < h - 1)
+              & (x_img > 0) & (x_img < w - 1)
+              & colvalid_l & live_v)
+
+        wscale = F32(-2.0) / F32(n_hist * n_hist)
+        w2 = col_rot * col_rot + row_rot * row_rot
+        weights = jnp.exp(w2 * wscale)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        deg = atan2_f32(gy, gx) * np.float32(180.0 / np.pi)
+        ori_norm = jnp.mod(deg + F32(360.0), F32(360.0)) - ori_v
+
+        bin_step = np.float32(np.float32(n_bins) / np.float32(360.0))
+        rb = row_bin - F32(0.5)
+        cb = col_bin - F32(0.5)
+        m = jnp.where(ok, mag * weights, F32(0.0))
+        obin = ori_norm * bin_step
+        rfl = jnp.floor(rb)
+        cfl = jnp.floor(cb)
+        ofl = jnp.floor(obin)
+        rfr = jnp.where(ok, rb - rfl, F32(0.0))
+        cfr = jnp.where(ok, cb - cfl, F32(0.0))
+        ofr = jnp.where(ok, obin - ofl, F32(0.0))
+        r1 = jnp.clip(jnp.where(ok, rfl, F32(0.0)).astype(I32) + 1,
+                      0, n_hist)
+        c1 = jnp.clip(jnp.where(ok, cfl, F32(0.0)).astype(I32) + 1,
+                      0, n_hist)
+        of = jnp.where(ok, ofl, F32(0.0)).astype(I32)
+        of = jnp.where(of < 0, of + n_bins, of)
+        of = jnp.where(of >= n_bins, of - n_bins, of)
+        of = jnp.clip(of, 0, n_bins - 1)
+        of1 = jnp.where(of + 1 >= n_bins, 0, of + 1)
+
+        planes = [m * (F32(1.0) - ofr) * (of == o).astype(F32)
+                  + m * ofr * (of1 == o).astype(F32)
+                  for o in range(n_bins)]
+        u_r = [(F32(1.0) - rfr) * (r1 == r).astype(F32)
+               + rfr * (r1 == r - 1).astype(F32)
+               for r in range(1, n_hist + 1)]
+        u_c = [(F32(1.0) - cfr) * (c1 == c).astype(F32)
+               + cfr * (c1 == c - 1).astype(F32)
+               for c in range(1, n_hist + 1)]
+
+        rows = []
+        for r in range(n_hist):
+            for c in range(n_hist):
+                wrc = u_r[r] * u_c[c]
+                for o in range(n_bins):
+                    rows.append(jnp.sum(wrc * planes[o],
+                                        axis=0, keepdims=True))
+        H = jnp.concatenate(rows, axis=0)                    # (128, 128)
+
+        for j in range(p):
+            Hj = jnp.where(grp_l == j, H, F32(0.0))
+            if j:
+                Hj = pltpu.roll(Hj, LANES - j * stride, axis=1)
+            col = jnp.sum(Hj, axis=1, keepdims=True)         # (D, 1)
+            O = O + jnp.where(lane == g * p + j, col, F32(0.0))
+        return O
+
+    @pl.when(n_act > 0)
+    def _():
+        dma_start_group(0, 0)
+
+    def body(t, O):
+        g0 = 2 * t
+        g1 = 2 * t + 1
+
+        @pl.when(g1 < n_act)
+        def _():
+            dma_start_group(1, g1)
+
+        dma_wait_group(0, g0)
+        O = compute_group(0, g0, O)
+
+        @pl.when(g1 + 1 < n_act)
+        def _():
+            dma_start_group(0, g1 + 1)
+
+        @pl.when(g1 < n_act)
+        def _():
+            dma_wait_group(1, g1)
+
+        O = jnp.where(g1 < n_act, compute_group(1, g1, O), O)
+        return O
+
+    O = jax.lax.fori_loop(0, -(-n_act // 2),
+                          body, jnp.zeros((D, BK), F32))
+    hist_ref[:, :] = O
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def descriptor_hist_packed(gauss_padded, s, xi, yi, kp_scale, angle, count,
+                           h: int, w: int, pad: int,
+                           cfg: SiftConfig = DEFAULT_CONFIG,
+                           interpret: bool = False,
+                           r_max: int = 30):
+    """Lane-packed raw descriptor histograms: same contract as
+    descriptor_kernel.descriptor_hist_pallas; requires pack_p(r_max) >= 2
+    (callers keep wider buckets on the per-keypoint kernel)."""
+    M = s.shape[0]
+    al = 16 if gauss_padded.dtype == jnp.bfloat16 else 8
+    nb = -(-M // BK)
+    padn = nb * BK - M
+
+    def pad1(a):
+        return jnp.pad(a, (0, padn))
+
+    D = cfg.descriptor_size
+    p = pack_p(r_max)
+    stride = LANES // p
+
+    kernel = functools.partial(
+        _kernel, n_hist=cfg.descriptor_n_histograms,
+        n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max,
+        p=p, stride=stride, BK=BK, kpad=nb * BK, al=al)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,   # count, s, y, x
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb,BK)
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # angle (nb,BK)
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((D, BK), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * _subl(2 * r_max + 3, al), p * LANES_DMA),
+                       gauss_padded.dtype),
+            pltpu.SemaphoreType.DMA((2, p, 2)),
+        ],
+    )
+
+    hist_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, nb * BK), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(count, jnp.int32).reshape(1),
+      pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
+      pad1(jnp.clip(yi, 0, h - 1)).astype(jnp.int32),
+      pad1(jnp.clip(xi, 0, w - 1)).astype(jnp.int32),
+      pad1(kp_scale).reshape(nb, BK), pad1(angle).reshape(nb, BK),
+      gauss_padded)
+    return hist_t.T[:M]

@@ -273,6 +273,8 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
     s_img: (K,) int32 Gaussian image index to sample; s_level: (K,) int32
     raw scale index in [1, 3] — the bucket key bounding kp_scale. live:
     optional (K,) bool validity mask replacing the lane < count prefix."""
+    from .orientation_packed import orientation_histograms_packed
+
     K = s_img.shape[0]
     if live is None:
         live = jnp.arange(K, dtype=jnp.int32) < count
@@ -281,9 +283,12 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
     for si, r_max in bucket_radii_ori(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, K)
-        hb = orientation_histograms_pallas(
-            gauss_padded, s_img[idxb], y[idxb], x[idxb], kp_scale[idxb],
-            countb, h, w, pad, cfg, interpret, r_max, False)
+        packed = (cfg.window_kernel == "packed"
+                  and 128 // (2 * r_max + 3) >= 2)
+        fn = (orientation_histograms_packed if packed
+              else orientation_histograms_pallas)
+        hb = fn(gauss_padded, s_img[idxb], y[idxb], x[idxb], kp_scale[idxb],
+                countb, h, w, pad, cfg, interpret, r_max, False)
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
     return _smooth(out)

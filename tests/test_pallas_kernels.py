@@ -328,3 +328,166 @@ def test_bf16_storage_kernels():
     diff = np.abs(d32.astype(int) - d16.astype(int))
     assert diff.max() <= 6, diff.max()
     assert diff.mean() < 1.0, diff.mean()
+
+
+@pytest.mark.smoke
+def test_refine_tile_kernel_matches_xla():
+    """Tile-grouped whole-loop refinement (interpret) vs the XLA 5-step
+    reference loop (ops.extrema.refine): identical convergence, final cells,
+    offsets, responses and keep decisions — including escaped candidates,
+    which take the per-step-kernel fallback inside refine_tile_tpu."""
+    from sift_features_tpu.ops import extrema as ext_ops
+    from sift_features_tpu.ops.pallas.refine_tile_kernel import refine_tile_tpu
+
+    rng = np.random.RandomState(5)
+    h, w = 180, 200
+    cfg = DEFAULT_CONFIG
+    P = desc_ops.PAD_DESC
+    # padded stack with kernel-friendly dims (8-row / 128-lane multiples)
+    Hp = -(-(h + 2 * P) // 8) * 8
+    Wp = -(-(w + 2 * P) // 128) * 128
+    dog_p = np.zeros((5, Hp, Wp), np.float32)
+    dog = (rng.randn(5, h, w) * 0.05).astype(np.float32)
+    dog_p[:, P:P + h, P:P + w] = dog
+
+    # real candidates from the discrete extrema of this DoG
+    mask = np.asarray(ext_ops.extrema_mask(jnp.asarray(dog), cfg))
+    s0, y0, x0 = np.nonzero(mask.reshape(3, h, w))
+    K = 256
+    k = min(K, len(s0))
+    s = np.ones(K, np.int32)
+    y = np.full(K, P, np.int32)
+    x = np.full(K, P, np.int32)
+    s[:k] = s0[:k] + 1
+    y[:k] = y0[:k]
+    x[:k] = x0[:k]
+    valid = np.arange(K) < k
+
+    out = refine_tile_tpu(
+        jnp.asarray(dog_p), jnp.asarray(s), jnp.asarray(y + P),
+        jnp.asarray(x + P), jnp.asarray(valid), P, h, w, cfg,
+        interpret=True)
+    ref = ext_ops.refine(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
+                         jnp.asarray(x), jnp.asarray(valid), cfg)
+
+    a = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(out["ok"])[a],
+                                  np.asarray(ref["ok"])[a])
+    conv = a & np.asarray(ref["ok"])
+    for key, off in (("s", 0), ("y", P), ("x", P)):
+        np.testing.assert_array_equal(np.asarray(out[key])[conv] - off,
+                                      np.asarray(ref[key])[conv], err_msg=key)
+    for key in ("off_s", "off_y", "off_x", "response"):
+        np.testing.assert_allclose(np.asarray(out[key])[conv],
+                                   np.asarray(ref[key])[conv],
+                                   rtol=1e-6, atol=1e-7, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["keep"])[a],
+                                  np.asarray(ref["keep"])[a])
+    assert conv.sum() > 20, "test needs a meaningful converged population"
+
+
+@pytest.mark.smoke
+def test_refine_tile_escape_fallback():
+    """Candidates with near-singular Hessians take |step| > 7 (unpackable in
+    the tile kernel's 4-bit step field) and must ESCAPE to the per-step
+    fallback inside refine_tile_tpu — results still equal the XLA loop."""
+    from sift_features_tpu.ops import extrema as ext_ops
+    from sift_features_tpu.ops.pallas.refine_tile_kernel import refine_tile_tpu
+
+    rng = np.random.RandomState(9)
+    h, w = 160, 200
+    cfg = DEFAULT_CONFIG
+    P = desc_ops.PAD_DESC
+    Hp = -(-(h + 2 * P) // 8) * 8
+    Wp = -(-(w + 2 * P) // 128) * 128
+    # smooth ramp (tiny curvature, nonzero gradient) -> huge Newton offsets
+    yg, xg = np.mgrid[0:h, 0:w].astype(np.float32)
+    dog = np.stack([0.001 * xg + 0.0005 * yg + 0.03 * np.sin(i + xg / 40.0)
+                    for i in range(5)]).astype(np.float32)
+    dog += (rng.randn(5, h, w) * 1e-5).astype(np.float32)
+    dog_p = np.zeros((5, Hp, Wp), np.float32)
+    dog_p[:, P:P + h, P:P + w] = dog
+
+    K = 128
+    s = rng.randint(1, 4, K).astype(np.int32)
+    y = rng.randint(20, h - 20, K).astype(np.int32)
+    x = rng.randint(20, w - 20, K).astype(np.int32)
+    valid = np.ones(K, bool)
+
+    out = refine_tile_tpu(
+        jnp.asarray(dog_p), jnp.asarray(s), jnp.asarray(y + P),
+        jnp.asarray(x + P), jnp.asarray(valid), P, h, w, cfg,
+        interpret=True)
+    ref = ext_ops.refine(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
+                         jnp.asarray(x), jnp.asarray(valid), cfg)
+    np.testing.assert_array_equal(np.asarray(out["ok"]), np.asarray(ref["ok"]))
+    np.testing.assert_array_equal(np.asarray(out["keep"]),
+                                  np.asarray(ref["keep"]))
+    conv = np.asarray(ref["ok"])
+    for key in ("off_s", "off_y", "off_x", "response"):
+        np.testing.assert_allclose(np.asarray(out[key])[conv],
+                                   np.asarray(ref[key])[conv],
+                                   rtol=1e-6, atol=1e-7, err_msg=key)
+
+
+@pytest.mark.mid
+def test_packed_orientation_matches_perkey():
+    """Lane-packed orientation kernel vs the per-keypoint kernel (interpret).
+    Interpret-mode reductions may differ in tree order (ULP); on-TPU byte
+    parity is gated by tools/parity_pallas.py."""
+    from sift_features_tpu.ops.pallas.orientation_kernel import (
+        orientation_histograms_pallas)
+    from sift_features_tpu.ops.pallas.orientation_packed import (
+        orientation_histograms_packed)
+
+    rng = np.random.RandomState(11)
+    h, w, P = 100, 120, desc_ops.PAD_DESC
+    g = np.zeros((6, h + 2 * P, w + 2 * P), np.float32)
+    g[:, P:P + h, P:P + w] = rng.rand(6, h, w).astype(np.float32)
+    K, count = 20, 17
+    s = rng.randint(0, 6, K).astype(np.int32)
+    y = rng.randint(0, h, K).astype(np.int32)
+    x = rng.randint(0, w, K).astype(np.int32)
+    ks = (rng.rand(K).astype(np.float32) * 2.0 + 0.5)
+    args = (jnp.asarray(g), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(ks), count, h, w, P, DEFAULT_CONFIG, True)
+    for r_max in (10, 16):
+        ref = np.asarray(orientation_histograms_pallas(*args, r_max))[:count]
+        new = np.asarray(orientation_histograms_packed(*args, r_max))[:count]
+        np.testing.assert_allclose(new, ref, rtol=3e-6, atol=1e-6)
+
+
+@pytest.mark.mid
+def test_packed_descriptor_matches_perkey():
+    """Lane-packed descriptor kernel vs the per-keypoint kernel (interpret).
+    Final u8 descriptors must be byte-equal after finalization."""
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_pallas)
+    from sift_features_tpu.ops.pallas.descriptor_packed import (
+        descriptor_hist_packed)
+
+    rng = np.random.RandomState(12)
+    h, w, P = 100, 120, desc_ops.PAD_DESC
+    g = np.zeros((6, h + 2 * P, w + 2 * P), np.float32)
+    g[:, P:P + h, P:P + w] = rng.rand(6, h, w).astype(np.float32)
+    M, count = 18, 15
+    s = rng.randint(0, 6, M).astype(np.int32)
+    y = rng.randint(0, h, M).astype(np.int32)
+    x = rng.randint(0, w, M).astype(np.int32)
+    ks = (rng.rand(M).astype(np.float32) * 1.2 + 0.8)
+    ang = (rng.rand(M) * 360).astype(np.float32)
+    args = (jnp.asarray(g), jnp.asarray(s), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(ks), jnp.asarray(ang), count, h, w, P,
+            DEFAULT_CONFIG, True)
+    for r_max in (24, 30):
+        raw_ref = descriptor_hist_pallas(*args, r_max)
+        raw_new = descriptor_hist_packed(*args, r_max)
+        np.testing.assert_allclose(np.asarray(raw_new)[:count],
+                                   np.asarray(raw_ref)[:count],
+                                   rtol=3e-6, atol=1e-6)
+        d_ref = np.asarray(desc_ops.finalize_descriptor(raw_ref,
+                                                        DEFAULT_CONFIG))
+        d_new = np.asarray(desc_ops.finalize_descriptor(raw_new,
+                                                        DEFAULT_CONFIG))
+        diff = np.abs(d_ref[:count].astype(int) - d_new[:count].astype(int))
+        assert diff.max() <= 1, diff.max()
