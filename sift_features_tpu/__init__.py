@@ -37,3 +37,11 @@ def match_descriptors(d1, d2, cross_check=True):
     from .ops.matcher import match_brute_force
 
     return match_brute_force(d1, d2, cross_check=cross_check)
+
+
+def descriptor_index(db=None, mesh=None, axis_name="data"):
+    """Queryable descriptor-database service (extract -> index -> query);
+    see sift_features_tpu.service.DescriptorIndex."""
+    from .service import DescriptorIndex
+
+    return DescriptorIndex(db, mesh, axis_name)

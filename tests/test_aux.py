@@ -75,3 +75,47 @@ def test_scaling_model():
     assert effs[0] >= effs[1] >= effs[2]
     # the >=80% multi-host target holds across the modeled range
     assert effs[-1] >= 0.8
+
+
+@pytest.mark.smoke
+def test_descriptor_index_service(tmp_path):
+    """service.DescriptorIndex: add -> query -> (frame, keypoint) mapping ->
+    save/load roundtrip. Self-queries must hit their own DB rows at
+    distance 0 (synthetic descriptors keep this extraction-free)."""
+    from sift_features_tpu.service import DescriptorIndex
+
+    rng = np.random.RandomState(3)
+    counts = [5, 0, 9, 3]
+    B, M = len(counts), max(counts)
+    valid = np.zeros((B, M), bool)
+    for i, c in enumerate(counts):
+        valid[i, :c] = True
+    desc = rng.randint(0, 256, (B, M, 128)).astype(np.uint8)
+    kps = rng.rand(B, M, 5).astype(np.float32)
+    res = {"kps": kps, "desc": desc, "valid": valid}
+
+    idx = DescriptorIndex()
+    idx.add_batch_result(res, frame_ids=np.array([10, 11, 12, 13]))
+    assert len(idx.db.descriptors) == sum(counts)
+
+    # query frame 12's descriptors: exact self-matches
+    q = desc[2, :counts[2]]
+    r = idx.query(q)
+    assert (r.distance == 0).all()
+    sel = np.argsort(r.query_idx)
+    np.testing.assert_array_equal(r.frame_id[sel], np.full(counts[2], 12))
+    np.testing.assert_array_equal(r.keypoint_idx[sel],
+                                  np.arange(counts[2]))
+
+    # roundtrip
+    idx.save(str(tmp_path / "svc"), n_shards=2)
+    idx2 = DescriptorIndex.load(str(tmp_path / "svc"))
+    np.testing.assert_array_equal(idx2.db.descriptors, idx.db.descriptors)
+    r2 = idx2.query(q)
+    np.testing.assert_array_equal(r2.keypoint_idx[np.argsort(r2.query_idx)],
+                                  np.arange(counts[2]))
+
+    # empty index / empty query edge cases
+    empty = DescriptorIndex()
+    assert len(empty.query(q).query_idx) == 0
+    assert len(idx.query(np.zeros((0, 128), np.uint8)).query_idx) == 0

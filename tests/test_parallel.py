@@ -110,6 +110,33 @@ def test_extract_match_step_runs(bird_small_cv2):
     assert np.asarray(res["valid"]).sum() > 0
 
 
+@pytest.mark.mid
+def test_extract_match_step_budget(bird_small_cv2):
+    """features_limit threads through the sharded step (C15): per-frame
+    keypoint buffers shrink to the budget and hold exactly the unbudgeted
+    run's response top-K (response-sorted)."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+
+    imgs = _imgs(bird_small_cv2, b=4)
+    mesh = make_mesh(n_data=4, n_space=1)
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(imgs.shape[1] * 2, imgs.shape[2] * 2)
+    limit = 32
+    full = extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 16)
+    res = extract_match_step(jnp.asarray(imgs), n_oct, cfg, mesh, 16, limit)
+    kps = np.asarray(res["kps"])
+    valid = np.asarray(res["valid"])
+    assert kps.shape[1] == limit
+    fk = np.asarray(full["kps"])
+    fv = np.asarray(full["valid"])
+    for b in range(kps.shape[0]):
+        resp = np.where(fv[b], fk[b][:, 4], -np.inf)
+        order = np.argsort(-resp, kind="stable")[:limit]
+        order = order[resp[order] > -np.inf]
+        np.testing.assert_allclose(kps[b][valid[b]][:, 4],
+                                   fk[b][order][:, 4], rtol=0, atol=0)
+
+
 def test_ring_match_u8_equals_f32():
     """u8 descriptors take the int8 MXU ring; retained matches and distances
     must equal the f32 ring exactly (integer distances < 2^24 are f32-exact)."""
