@@ -187,7 +187,7 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
 def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
                            stages: str = "full", gauss_win=None,
-                           describe: bool = True):
+                           describe: bool = True, interpret: bool = False):
     """Frame-batched single-octave detection on fused-pyramid padded stacks.
 
     gauss_p/dog_p: (B, 5, H_pad, W_pad) (gauss slot k = level k+1). All
@@ -229,7 +229,8 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
         return dummy()
 
     bounds = (P + b, P + h - b, P + b, P + w - b)
-    words = extrema_words_batched(dog_p, bounds, cfg.scales_per_octave)
+    words = extrema_words_batched(dog_p, bounds, cfg.scales_per_octave,
+                                  interpret)
     s0, y0, x0, valid, n_cand = jax.vmap(
         lambda ww: ext_ops.find_candidates_words(ww, K))(words)      # (B, K)
     if stages == "extrema":
@@ -239,7 +240,8 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K)
     ref = ext_ops.refine_tpu_auto(
         dog_flat, s0.reshape(-1), y0.reshape(-1), x0.reshape(-1),
-        valid.reshape(-1), P, h, w, cfg, plane_off=poff_k)
+        valid.reshape(-1), P, h, w, cfg, plane_off=poff_k,
+        interpret=interpret)
     keep = (ref["keep"] & valid.reshape(-1)).reshape(B, K)
 
     # per-frame survivor compaction
@@ -271,7 +273,7 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     hist = orientation_histograms_bucketed(
         gauss_flat, (s - 1).reshape(-1) + poff_k2, s.reshape(-1),
         y.reshape(-1), x.reshape(-1), kp_scale.reshape(-1),
-        jnp.sum(n_surv), h, w, P, cfg, live=live2)
+        jnp.sum(n_surv), h, w, P, cfg, interpret, live=live2)
     angles, emit = ori_ops.orientation_peaks(hist, cfg)              # (B*K2, nb)
     angles = angles.reshape(B, K2 * nb_)
     emit = (emit.reshape(B, K2, nb_) & svalid[:, :, None]).reshape(B, K2 * nb_)
@@ -327,13 +329,14 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     hist128 = descriptor_hist_bucketed(
         gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
         xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
-        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg,
+        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg, interpret,
         live=evalid.reshape(-1))
     res["desc"] = desc_ops.finalize_descriptor(hist128, cfg).reshape(B, M, -1)
     return res
 
 
-def _describe_subset(gauss_flat, win_planes: int, fields, live, cfg, h, w):
+def _describe_subset(gauss_flat, win_planes: int, fields, live, cfg, h, w,
+                     interpret: bool = False):
     """Describe a compacted keypoint subset: fields are (B, C) arrays (the
     desc_in pytree gathered at selected rows), live the (B, C) validity
     mask. Same kernel + finalization as the full path."""
@@ -347,13 +350,14 @@ def _describe_subset(gauss_flat, win_planes: int, fields, live, cfg, h, w):
         fields["kp_s"].reshape(-1), fields["xi"].reshape(-1),
         fields["yi"].reshape(-1), fields["kp_sc"].reshape(-1),
         fields["kp_angle"].reshape(-1), jnp.sum(live), h, w, P, cfg,
-        live=live.reshape(-1))
+        interpret, live=live.reshape(-1))
     return desc_ops.finalize_descriptor(hist128, cfg).reshape(B, C, -1)
 
 
 def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
                          cfg: SiftConfig, stages: str = "full",
-                         budget: int | None = None):
+                         budget: int | None = None,
+                         interpret: bool = False):
     """Frame-batched TPU pipeline: every Pallas stage launches ONCE per
     octave for the whole batch (vs. once per frame per octave under
     lax.map) — grid-step and launch overhead dominate the small octaves on
@@ -384,11 +388,13 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
             base = jax.vmap(lambda im: reflect_pad_image(
                 im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(initial)
             g, d, g16 = build_octave_padded_batched(
-                base, cfg, gather16=(cfg.gather_dtype == "bfloat16"
-                                     and cfg.storage_dtype != "bfloat16"))
+                base, cfg, interpret,
+                gather16=(cfg.gather_dtype == "bfloat16"
+                          and cfg.storage_dtype != "bfloat16"))
             out.append(_detect_octave_batched(g, d, o, cfg, (h, w), stages,
                                               gauss_win=g16,
-                                              describe=budget is None))
+                                              describe=budget is None,
+                                              interpret=interpret))
             sp = cfg.scales_per_octave
             initial = g[:, sp - 1, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
         else:
@@ -423,10 +429,11 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
             "valid": jnp.concatenate([r["valid"] for r in out], axis=1),
             **counters,
         }
-    return _assemble_budget(out, hw_list, budget, cfg, counters)
+    return _assemble_budget(out, hw_list, budget, cfg, counters, interpret)
 
 
-def _assemble_budget(out, hw_list, budget: int, cfg: SiftConfig, counters):
+def _assemble_budget(out, hw_list, budget: int, cfg: SiftConfig, counters,
+                     interpret: bool = False):
     """Global per-frame response top-K across octaves, then describe ONLY
     the selected keypoints (reference order: truncate BEFORE descriptors,
     lib.rs:156-161). Octaves that already carry full descriptors (tiny-
@@ -462,7 +469,8 @@ def _assemble_budget(out, hw_list, budget: int, cfg: SiftConfig, counters):
                       for k, v in r["desc_in"].items()}
             gauss_flat, win_planes = r["win_ctx"]
             desc_c = _describe_subset(gauss_flat, win_planes, fields,
-                                      mvalid, cfg, h, w)   # (B, C, D)
+                                      mvalid, cfg, h, w,
+                                      interpret)           # (B, C, D)
             rank = jnp.cumsum(member, axis=1) - 1
             d_rows = jnp.take_along_axis(
                 desc_c, jnp.clip(rank, 0, C - 1)[..., None], axis=1)

@@ -245,7 +245,7 @@ def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG
 
 def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
                     h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
-                    plane_off=None):
+                    plane_off=None, interpret: bool = False):
     """Dispatch between the tile-grouped whole-loop kernel (cfg.refine_mode
     "tile"; ops.pallas.refine_tile_kernel) and the per-step kernel loop
     (refine_tpu). Outputs are identical; "tile" is the fast path."""
@@ -260,9 +260,9 @@ def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
         from .pallas.refine_tile_kernel import refine_tile_tpu
 
         return refine_tile_tpu(dog_padded, s0, y0, x0, valid, pad, h, w,
-                               cfg, plane_off=plane_off)
+                               cfg, plane_off=plane_off, interpret=interpret)
     return refine_tpu(dog_padded, s0, y0, x0, valid, pad, h, w, cfg,
-                      plane_off=plane_off)
+                      plane_off=plane_off, interpret=interpret)
 
 
 def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,

@@ -148,8 +148,18 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
                     for ds in range(3):
                         base = (p - 1 + ds) * LR
                         for dy in range(3):
-                            st = min(max(a + dy - 1, 0), LR - CH)
+                            lo = a + dy - 1
+                            st = min(max(lo, 0), LR - CH)
                             rows = win[base + st:base + st + CH, :]
+                            # boundary chunks: the clamp would shift the
+                            # whole chunk's dy plane by one row — realign
+                            # with a 1-row roll (the wrapped row lands on
+                            # field rows 0 / LR-1, which the walk's
+                            # [1, LR-2] clamp never reads)
+                            if lo < 0:
+                                rows = pltpu.roll(rows, 1, axis=0)
+                            elif lo > LR - CH:
+                                rows = pltpu.roll(rows, CH - 1, axis=0)
                             for dx in range(3):
                                 sh = (LW + 1 - dx) % LW
                                 cube[(ds, dy, dx)] = (

@@ -151,3 +151,40 @@ def test_capacity_overflow_prefix(bird_small_cv2):
                                    octave_blocks(full, DEFAULT_CONFIG))):
         np.testing.assert_allclose(a, b[:len(a)], rtol=0, atol=1e-3,
                                    err_msg=f"octave {o} not a prefix")
+
+
+@pytest.mark.slow
+def test_fused_budget_matches_truncation_interpret(bird_small_cv2):
+    """The fused TPU batch path in interpret mode: budgeted extraction
+    (truncate-before-describe, _assemble_budget/_describe_subset) must be
+    byte-identical to the unbudgeted fused result truncated afterwards —
+    same kernels, so keypoints AND descriptor bytes must agree exactly."""
+    import jax.numpy as jnp
+
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import _extract_batch_fused
+
+    img = bird_small_cv2[:64, :96]
+    imgs = jnp.asarray(np.stack([img, img[::-1, ::-1].copy()]))
+    cfg = DEFAULT_CONFIG
+    n_oct = cfg.n_octaves(64 * 2, 96 * 2)
+    budget = 40
+
+    full = _extract_batch_fused(imgs, n_oct, cfg, interpret=True)
+    bud = _extract_batch_fused(imgs, n_oct, cfg, budget=budget,
+                               interpret=True)
+    kf = np.asarray(full["kps"])
+    df = np.asarray(full["desc"])
+    vf = np.asarray(full["valid"])
+    kb = np.asarray(bud["kps"])
+    db = np.asarray(bud["desc"])
+    vb = np.asarray(bud["valid"])
+    assert kb.shape[1] == budget
+    for b in range(kf.shape[0]):
+        resp = np.where(vf[b], kf[b][:, 4], -np.inf)
+        order = np.argsort(-resp, kind="stable")[:budget]
+        order = order[resp[order] > -np.inf]
+        got_k, got_d = kb[b][vb[b]], db[b][vb[b]]
+        assert len(got_k) == len(order)
+        np.testing.assert_array_equal(got_k, kf[b][order])
+        np.testing.assert_array_equal(got_d, df[b][order])

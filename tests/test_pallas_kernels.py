@@ -350,17 +350,21 @@ def test_refine_tile_kernel_matches_xla():
     dog = (rng.randn(5, h, w) * 0.05).astype(np.float32)
     dog_p[:, P:P + h, P:P + w] = dog
 
-    # real candidates from the discrete extrema of this DoG
+    # real candidates from the discrete extrema of this DoG — STRIDED
+    # across the whole scan order so every window row-chunk is exercised
+    # (the first-K prefix puts all candidates in the top tile and misses
+    # the chunk-boundary rows, which once hid a dense-pass indexing bug)
     mask = np.asarray(ext_ops.extrema_mask(jnp.asarray(dog), cfg))
     s0, y0, x0 = np.nonzero(mask.reshape(3, h, w))
     K = 256
     k = min(K, len(s0))
+    pick = np.linspace(0, len(s0) - 1, k).astype(int)
     s = np.ones(K, np.int32)
     y = np.full(K, P, np.int32)
     x = np.full(K, P, np.int32)
-    s[:k] = s0[:k] + 1
-    y[:k] = y0[:k]
-    x[:k] = x0[:k]
+    s[:k] = s0[pick] + 1
+    y[:k] = y0[pick]
+    x[:k] = x0[pick]
     valid = np.arange(K) < k
 
     out = refine_tile_tpu(

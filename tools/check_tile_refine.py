@@ -39,13 +39,16 @@ def main():
     mask = np.asarray(ext_ops.extrema_mask(jnp.asarray(dog), cfg))
     s0, y0, x0 = np.nonzero(mask.reshape(3, h, w))
     k = min(K, len(s0))
+    # stride candidates across scan order: cover every tile AND the window
+    # chunk-boundary rows (a first-K prefix stays in the top tile)
+    pick = np.linspace(0, len(s0) - 1, k).astype(int)
     print(f"{len(s0)} extrema, testing {k}/{K} lanes", flush=True)
     s = np.ones(K, np.int32)
     y = np.full(K, P, np.int32)
     x = np.full(K, P, np.int32)
-    s[:k] = s0[:k] + 1
-    y[:k] = y0[:k]
-    x[:k] = x0[:k]
+    s[:k] = s0[pick] + 1
+    y[:k] = y0[pick]
+    x[:k] = x0[pick]
     valid = np.arange(K) < k
 
     t0 = time.time()
