@@ -50,7 +50,8 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
 
 
 def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
-                   cfg: SiftConfig, padded=None, hw=None, row_range=None):
+                   cfg: SiftConfig, padded=None, hw=None, row_range=None,
+                   interpret: bool = False):
     """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W)
     — OR, when `padded` is given, pre-built padded stacks from the fused
     pyramid kernels: padded = (gauss_slots, dog_p, slot_off) where
@@ -59,8 +60,10 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
     row_range = (y0, y1) (possibly traced) restricts CANDIDATE rows to
     [y0, y1) — the spatial-parallel path gives each space member its own
-    row band so detection work (not just the blurs) is sharded. Only the
-    XLA branch supports it (the Pallas extrema kernel needs static bounds).
+    row band so detection work (not just the blurs) is sharded. The Pallas
+    branch supports it too: the extrema scan takes the XLA reduce-window
+    path (traced bounds), while refinement/orientation/description stay on
+    the Pallas kernels (they take explicit candidate lists).
 
     Returns dict of fixed-capacity (M,) keypoint fields + overflow counters.
     """
@@ -76,8 +79,9 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     if padded is None:
         gauss_padded = desc_ops.pad_stack_for_kernels(gauss)
     # Pallas kernels need the padded plane to cover a 256-lane aligned DMA
-    use_pallas = (cfg.use_pallas and jax.devices()[0].platform == "tpu"
-                  and gauss_padded.shape[-1] >= 256 and row_range is None)
+    use_pallas = (((cfg.use_pallas and jax.devices()[0].platform == "tpu")
+                   or interpret)
+                  and gauss_padded.shape[-1] >= 256)
 
     if use_pallas:
         # padded-coordinate detection: the DoG is formed in the padded
@@ -86,19 +90,29 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         if padded is None:
             dog_p = gauss_padded[1:] - gauss_padded[:-1]
         b = cfg.image_border
-        bounds = (P + b, P + h - b, P + b, P + w - b)
+        if row_range is None:
+            bounds = (P + b, P + h - b, P + b, P + w - b)
+        else:
+            # spatial row band (possibly traced): padded coords
+            bounds = (jnp.maximum(P + b, P + row_range[0]),
+                      jnp.minimum(P + h - b, P + row_range[1]),
+                      P + b, P + w - b)
         hp, wp = dog_p.shape[-2], dog_p.shape[-1]
-        if hp % 128 == 0 and (wp <= 1536 or wp % 1024 == 0):
+        if (row_range is None and hp % 128 == 0
+                and (wp <= 1536 or wp % 1024 == 0)):
             # fused extrema + MXU bit-pack kernel; compaction on words
             from ..ops.pallas.extrema_kernel import extrema_words
 
-            words = extrema_words(dog_p, bounds, cfg.scales_per_octave)
+            words = extrema_words(dog_p, bounds, cfg.scales_per_octave,
+                                  interpret)
             s0, y0, x0, valid, n_cand = ext_ops.find_candidates_words(words, K)
         else:
+            # traced bounds (row bands) take the XLA extrema scan; the
+            # per-candidate Pallas kernels below are bound-agnostic
             mask = ext_ops.extrema_mask(dog_p, cfg, bounds=bounds)
             s0, y0, x0, valid, n_cand = ext_ops.find_candidates(mask, K)
         ref = ext_ops.refine_tpu_auto(dog_p, s0, y0, x0, valid, P, h, w,
-                                       cfg)
+                                       cfg, interpret=interpret)
         coord_off = P
     else:
         if dog is None:
@@ -133,7 +147,7 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
 
         hist = orientation_histograms_bucketed(
             gauss_padded, s - slot_off, s, y, x, kp_scale, n_surv, h, w, P,
-            cfg)
+            cfg, interpret)
     else:
         hist = ori_ops.orientation_histograms_blocked(
             gauss_padded, h, w, s, y, x, kp_scale, svalid, cfg,
@@ -162,7 +176,7 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         yi = rust_round(y_oct).astype(jnp.int32)
         hist128 = descriptor_hist_bucketed(
             gauss_padded, kp_s - slot_off, kp_s, xi, yi, kp_sc, kp_angle,
-            n_emit, h, w, P, cfg)
+            n_emit, h, w, P, cfg, interpret)
         descs = desc_ops.finalize_descriptor(hist128, cfg)
     else:
         descs = desc_ops.descriptor_batch_blocked(

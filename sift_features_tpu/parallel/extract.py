@@ -114,13 +114,12 @@ def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
     concatenating members' valid rows gives the n_space=1 keypoint SET;
     order is member-major per octave instead of global scan order).
 
-    Detection uses the XLA kernels (the Pallas extrema kernel needs static
-    scan bounds; the member's row band is a traced axis_index function)."""
-    import dataclasses
-
+    On TPU the per-candidate stages (refinement, orientation, description)
+    run the Pallas kernels; only the extrema scan takes the XLA
+    reduce-window path (the member's row band is a traced axis_index
+    function, which the fused extrema kernel's static grid cannot take)."""
     from ..models.extractor import _detect_octave
 
-    cfg_x = dataclasses.replace(cfg, use_pallas=False)
     seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]   # replicated
     h_seed, w_seed = seed.shape
     h_loc = h_seed // n_space
@@ -133,7 +132,7 @@ def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
         h = gauss.shape[-2]
         hb = -(-h // n_space)                 # member band = ceil split
         y0 = idx * hb
-        r = _detect_octave(gauss, gauss[1:] - gauss[:-1], o, cfg_x,
+        r = _detect_octave(gauss, gauss[1:] - gauss[:-1], o, cfg,
                            row_range=(y0, jnp.minimum(y0 + hb, h)))
         out.append(r)
     return {

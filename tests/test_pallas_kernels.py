@@ -495,3 +495,51 @@ def test_packed_descriptor_matches_perkey():
                                                         DEFAULT_CONFIG))
         diff = np.abs(d_ref[:count].astype(int) - d_new[:count].astype(int))
         assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.slow
+def test_detect_octave_row_band_pallas_interpret(bird_small_cv2):
+    """Row-banded detection on the Pallas branch (spatial sharding path,
+    TRACED bounds): the extrema scan takes the XLA reduce-window path while
+    refine/orientation/descriptor run the Pallas kernels — results must
+    match the all-XLA branch on the same band (canonical order, ULP tol)."""
+    import dataclasses
+
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import _detect_octave
+    from sift_features_tpu.ops import pyramid as pyr_ops
+
+    cfg = DEFAULT_CONFIG
+    img = bird_small_cv2[:96, :128]
+    seed = pyr_ops.create_seed_image(jnp.asarray(img)[None], cfg)[0]
+    sigmas = cfg.octave_sigmas()
+    from sift_features_tpu.ops.gaussian import gaussian_blur
+
+    levels = [seed]
+    for sig in sigmas[1:]:
+        levels.append(gaussian_blur(levels[-1], sig))
+    gauss = jnp.stack(levels, axis=0)
+    dog = gauss[1:] - gauss[:-1]
+    # this crop's octave-0 keypoints live at rows 182-184 (octave coords);
+    # the band includes them while excluding the top of the image
+    band = (jnp.int32(150), jnp.int32(192))
+
+    r_pal = _detect_octave(gauss, dog, 0, cfg, row_range=band,
+                           interpret=True)
+    r_xla = _detect_octave(gauss, dog, 0,
+                           dataclasses.replace(cfg, use_pallas=False),
+                           row_range=band)
+    kp_p = np.asarray(r_pal["kps"])[np.asarray(r_pal["valid"])]
+    kp_x = np.asarray(r_xla["kps"])[np.asarray(r_xla["valid"])]
+    assert len(kp_p) == len(kp_x) and len(kp_p) > 3, (len(kp_p), len(kp_x))
+
+    def canon(k):
+        key = np.round(k[:, :3].astype(np.float64), 4)
+        return k[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+
+    a, b = canon(kp_p), canon(kp_x)
+    np.testing.assert_allclose(a[:, [0, 1, 2, 4]], b[:, [0, 1, 2, 4]],
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(a[:, 3], b[:, 3], rtol=0, atol=0.05)
+    # all keypoints originate inside the band (y in octave coords)
+    assert (a[:, 1] / cfg.delta_min >= 149).all()

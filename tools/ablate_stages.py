@@ -33,11 +33,23 @@ def main():
     b = int(os.environ.get("BENCH_BATCH", "4"))
     frames = jnp.asarray(make_frames(b))
     cfg = DEFAULT_CONFIG
+    # mode knobs for A/B ablation of the round-3 kernels
+    import dataclasses
+
+    if os.environ.get("BENCH_REFINE_MODE"):
+        cfg = dataclasses.replace(cfg,
+                                  refine_mode=os.environ["BENCH_REFINE_MODE"])
+    if os.environ.get("BENCH_WINDOW_KERNEL"):
+        cfg = dataclasses.replace(
+            cfg, window_kernel=os.environ["BENCH_WINDOW_KERNEL"])
+    if os.environ.get("BENCH_STORAGE_BF16") == "1":
+        cfg = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    budget = int(os.environ.get("BENCH_BUDGET", "0")) or None
     n_oct = cfg.n_octaves(frames.shape[1] * 2, frames.shape[2] * 2)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(imgs, stages):
-        return _extract_batch_fused(imgs, n_oct, cfg, stages)
+        return _extract_batch_fused(imgs, n_oct, cfg, stages, budget=budget)
 
     def timed(stages, iters=6):
         out = run(frames, stages)
