@@ -74,8 +74,10 @@ class SiftConfig:
     # Newton-refinement kernel strategy on TPU: "tile" = tile-grouped kernel
     # (all 5 steps from VMEM-resident DoG windows, one launch; escapes fall
     # back to the per-step kernel), "step" = per-candidate per-step DMA
-    # kernel only. Identical outputs; "tile" removes the dominant per-DMA
-    # latency cost of the refine stage.
+    # kernel only, "region" = region-grouped step-1 kernel (co-located
+    # candidates share one window DMA; dense vectorized solve + one-hot MXU
+    # extraction) with the per-step kernel for the sparse later steps.
+    # Identical outputs for all three.
     refine_mode: str = "tile"
     # Orientation/descriptor window kernel strategy on TPU: "packed" = lane-
     # packed kernels (p = 128//window windows per vector register — buckets

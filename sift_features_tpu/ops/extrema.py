@@ -262,12 +262,15 @@ def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
         return refine_tile_tpu(dog_padded, s0, y0, x0, valid, pad, h, w,
                                cfg, plane_off=plane_off, interpret=interpret)
     return refine_tpu(dog_padded, s0, y0, x0, valid, pad, h, w, cfg,
-                      plane_off=plane_off, interpret=interpret)
+                      plane_off=plane_off, interpret=interpret,
+                      first_step_region=(cfg.refine_mode == "region"
+                                         and tile_ok))
 
 
 def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
                h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
-               plane_off=None, interpret: bool = False):
+               plane_off=None, interpret: bool = False,
+               first_step_region: bool = False):
     """TPU refinement loop driving the Pallas per-step kernel
     (ops.pallas.refine_kernel): same semantics as refine(), but positions are
     in PADDED stack coordinates and cube evaluation is a DMA'd vector kernel
@@ -303,11 +306,22 @@ def refine_tpu(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
              for i in range(0, K, CHUNK)], axis=0)
 
     fields = None
-    for _ in range(cfg.max_interpolation_steps):
+    for step_i in range(cfg.max_interpolation_steps):
         active = ~(converged | dead)
         s_idx = s if plane_off is None else jnp.clip(
             s, 1, cfg.scales_per_octave) + plane_off
-        out = _run_step(s_idx, y, x, active.astype(jnp.int32))
+        if step_i == 0 and first_step_region:
+            # all candidates are active on step 1: the region-grouped kernel
+            # shares one window DMA across co-located candidates and solves
+            # densely (ops.pallas.refine_region_kernel); later steps have few
+            # active lanes and take the skip-efficient per-candidate kernel
+            from .pallas.refine_region_kernel import refine_step_region
+
+            out = refine_step_region(dog_padded, s_idx, y, x,
+                                     active.astype(jnp.int32), w_pad, cfg,
+                                     interpret)
+        else:
+            out = _run_step(s_idx, y, x, active.astype(jnp.int32))
         ok_here = out[:, 0] > 0
         newly = active & ok_here
         converged |= newly

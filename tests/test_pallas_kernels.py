@@ -434,6 +434,46 @@ def test_refine_tile_escape_fallback():
                                    rtol=1e-6, atol=1e-7, err_msg=key)
 
 
+@pytest.mark.smoke
+def test_refine_region_step_matches_perstep():
+    """Region-grouped step-1 kernel (interpret) vs the per-candidate step
+    kernel: ok/steps/keep byte-exact everywhere; offsets/response byte-exact
+    wherever the per-step value is finite (the region kernel zeroes
+    non-finite values, which refine_tpu never reads — they only occur on
+    lanes whose ok flag is false). Exercises shared-region candidates,
+    128-lane straddlers (forced extra region loads) and inactive lanes."""
+    from sift_features_tpu.ops.pallas.refine_kernel import refine_step_pallas
+    from sift_features_tpu.ops.pallas.refine_region_kernel import (
+        refine_step_region)
+
+    rng = np.random.RandomState(7)
+    S, Hp, Wp = 5, 64, 384          # fused-layout-aligned dims
+    dog = (rng.randn(S, Hp, Wp) * 0.05).astype(np.float32)
+    cfg = DEFAULT_CONFIG
+    K = 32
+    count = 27
+    s = rng.randint(1, 4, K).astype(np.int32)
+    # clustered candidates so DMA windows are genuinely shared
+    cy = rng.randint(18, Hp - 20, 4)
+    cx = rng.randint(18, Wp - 20, 4)
+    ci = rng.randint(0, 4, K)
+    y = np.clip(cy[ci] + rng.randint(-6, 7, K), 1, Hp - 17).astype(np.int32)
+    x = np.clip(cx[ci] + rng.randint(-6, 7, K), 1, Wp - 3).astype(np.int32)
+    x[:4] = 126 + (np.arange(4) % 3) + 128 * rng.randint(0, 2, 4)  # straddle
+    active = (np.arange(K) < count).astype(np.int32)
+
+    ref = np.asarray(refine_step_pallas(
+        jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+        jnp.asarray(active), Wp, cfg, True))[:count]
+    out = np.asarray(refine_step_region(
+        jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+        jnp.asarray(active), Wp, cfg, True))[:count]
+
+    eq = ref == out
+    assert eq[:, [0, 1, 2, 3, 8]].all()                      # ok/steps/keep
+    assert (eq[:, 4:8] | ~np.isfinite(ref[:, 4:8])).all()    # offs/response
+
+
 @pytest.mark.mid
 def test_packed_orientation_matches_perkey():
     """Lane-packed orientation kernel vs the per-keypoint kernel (interpret).

@@ -1,5 +1,8 @@
-"""On-TPU check: tile-grouped refinement kernel vs the XLA reference loop.
-Usage: python tools/check_tile_refine.py [h w K]
+"""On-TPU check: tile-grouped / region-grouped refinement vs the XLA
+reference loop.
+Usage: python tools/check_tile_refine.py [h w K]            (tile correctness)
+       python tools/check_tile_refine.py region [h w K]     (region correctness)
+       python tools/check_tile_refine.py bench [h w K iters] (tile/region/step)
 """
 
 import os
@@ -80,6 +83,72 @@ def main():
     assert ok_eq == 1.0 and keep_eq == 1.0 and pos_eq == 1.0
 
 
+def main_region():
+    """Region-grouped step-1 path (refine_tpu first_step_region=True) vs the
+    XLA reference loop. python tools/check_tile_refine.py region [h w K]"""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.ops import descriptor as desc_ops
+    from sift_features_tpu.ops import extrema as ext_ops
+
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    cfg = DEFAULT_CONFIG
+    P = desc_ops.PAD_DESC
+    Hp = -(-(h + 2 * P) // 128) * 128
+    Wp = -(-(w + 2 * P) // 128) * 128
+    rng = np.random.RandomState(5)
+    dog = (rng.randn(5, h, w) * 0.05).astype(np.float32)
+    dog_p = np.zeros((5, Hp, Wp), np.float32)
+    dog_p[:, P:P + h, P:P + w] = dog
+
+    mask = np.asarray(ext_ops.extrema_mask(jnp.asarray(dog), cfg))
+    s0, y0, x0 = np.nonzero(mask.reshape(3, h, w))
+    k = min(K, len(s0))
+    pick = np.linspace(0, len(s0) - 1, k).astype(int)
+    print(f"{len(s0)} extrema, testing {k}/{K} lanes", flush=True)
+    s = np.ones(K, np.int32)
+    y = np.full(K, P, np.int32)
+    x = np.full(K, P, np.int32)
+    s[:k] = s0[pick] + 1
+    y[:k] = y0[pick]
+    x[:k] = x0[pick]
+    valid = np.arange(K) < k
+
+    t0 = time.time()
+    out = jax.jit(lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
+        d, ss, yy, xx, vv, P, h, w, cfg, first_step_region=True))(
+        jnp.asarray(dog_p), jnp.asarray(s), jnp.asarray(y + P),
+        jnp.asarray(x + P), jnp.asarray(valid))
+    out = {kk: np.asarray(v) for kk, v in out.items()}
+    print(f"region path ran in {time.time()-t0:.1f}s (incl. compile)",
+          flush=True)
+
+    ref = ext_ops.refine(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
+                         jnp.asarray(x), jnp.asarray(valid), cfg)
+    ref = {kk: np.asarray(v) for kk, v in ref.items()}
+    a = valid
+    ok_eq = (out["ok"][a] == ref["ok"][a]).mean()
+    keep_eq = (out["keep"][a] == ref["keep"][a]).mean()
+    conv = a & ref["ok"]
+    pos_eq = ((out["s"][conv] == ref["s"][conv])
+              & (out["y"][conv] - P == ref["y"][conv])
+              & (out["x"][conv] - P == ref["x"][conv])).mean()
+    mx = max(np.abs(out[f][conv] - ref[f][conv]).max(initial=0)
+             for f in ("off_s", "off_y", "off_x", "response"))
+    print(f"ok equal {ok_eq:.4f}  keep equal {keep_eq:.4f}  "
+          f"pos equal {pos_eq:.4f}  max field diff {mx:.3e}", flush=True)
+    byte_eq = all((out[f][conv] == ref[f][conv]).all()
+                  for f in ("off_s", "off_y", "off_x", "response"))
+    print("byte-exact fields:", byte_eq, flush=True)
+    assert ok_eq == 1.0 and keep_eq == 1.0 and pos_eq == 1.0
+
+
 def bench():
     """Timing: tile kernel vs per-step kernel loop at 1080p octave-0 scale.
     python tools/check_tile_refine.py bench [h w K iters]"""
@@ -137,14 +206,18 @@ def bench():
         dt = (time.time() - t0) / iters
         print(f"{name}: {dt*1e3:.2f} ms ({dt/k*1e6:.3f} us/cand)", flush=True)
 
-    timed("tile ", lambda d, ss, yy, xx, vv: refine_tile_tpu(
+    timed("tile  ", lambda d, ss, yy, xx, vv: refine_tile_tpu(
         d, ss, yy, xx, vv, P, h, w, cfg))
-    timed("step ", lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
+    timed("step  ", lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
         d, ss, yy, xx, vv, P, h, w, cfg))
+    timed("region", lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
+        d, ss, yy, xx, vv, P, h, w, cfg, first_step_region=True))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "bench":
         bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "region":
+        main_region()
     else:
         main()

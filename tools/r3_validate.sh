@@ -15,7 +15,8 @@ run() {
 }
 
 run tile_correct   python tools/check_tile_refine.py
-run tile_bench     python tools/check_tile_refine.py bench 1080 1920 32768 5
+run region_correct python tools/check_tile_refine.py region
+run refine_bench   python tools/check_tile_refine.py bench 1080 1920 32768 5
 run packed         python tools/check_packed.py 4096 5
 run budget         python tools/check_budget.py
 run parity         python tools/parity_pallas.py
