@@ -155,9 +155,12 @@ def main():
 
             sift = cv2.SIFT_create()
             sift.detectAndCompute(frames[0], None)  # warmup
-            t0 = time.perf_counter()
-            kk, _ = sift.detectAndCompute(frames[0], None)
-            cv2_fps = round(1.0 / (time.perf_counter() - t0), 3)
+            best = float("inf")
+            for _ in range(3):  # best-of-3: host-load robust (VERDICT r2 w4)
+                t0 = time.perf_counter()
+                sift.detectAndCompute(frames[0], None)
+                best = min(best, time.perf_counter() - t0)
+            cv2_fps = round(1.0 / best, 3)
         except Exception:
             pass
 
