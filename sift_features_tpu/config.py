@@ -79,6 +79,12 @@ class SiftConfig:
     # extraction) with the per-step kernel for the sparse later steps.
     # Identical outputs for all three.
     refine_mode: str = "tile"
+    # With refine_mode="region": how many leading Newton steps use the
+    # region-grouped kernel before falling back to the per-candidate skip
+    # kernel (inactive lanes sort to the end, so sparse later steps compact
+    # into few blocks; measured active fractions 100/28/8.5/2.6/1.3% over
+    # steps 1-5 at bench density). 1..max_interpolation_steps.
+    region_steps: int = 1
     # Orientation/descriptor window kernel strategy on TPU: "packed" = lane-
     # packed kernels (p = 128//window windows per vector register — buckets
     # too wide to pack fall back per-kernel), "perkey" = one window per

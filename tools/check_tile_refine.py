@@ -84,8 +84,9 @@ def main():
 
 
 def main_region():
-    """Region-grouped step-1 path (refine_tpu first_step_region=True) vs the
-    XLA reference loop. python tools/check_tile_refine.py region [h w K]"""
+    """Region-grouped path (refine_tpu region_steps=5, i.e. every step runs
+    the region kernel incl. sparse ones) vs the XLA reference loop.
+    python tools/check_tile_refine.py region [h w K]"""
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +123,7 @@ def main_region():
 
     t0 = time.time()
     out = jax.jit(lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
-        d, ss, yy, xx, vv, P, h, w, cfg, first_step_region=True))(
+        d, ss, yy, xx, vv, P, h, w, cfg, region_steps=5))(
         jnp.asarray(dog_p), jnp.asarray(s), jnp.asarray(y + P),
         jnp.asarray(x + P), jnp.asarray(valid))
     out = {kk: np.asarray(v) for kk, v in out.items()}
@@ -210,8 +211,10 @@ def bench():
         d, ss, yy, xx, vv, P, h, w, cfg))
     timed("step  ", lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
         d, ss, yy, xx, vv, P, h, w, cfg))
-    timed("region", lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
-        d, ss, yy, xx, vv, P, h, w, cfg, first_step_region=True))
+    for rs in (1, 2, 5):
+        timed(f"regi{rs} ", lambda d, ss, yy, xx, vv, rs=rs:
+              ext_ops.refine_tpu(d, ss, yy, xx, vv, P, h, w, cfg,
+                                 region_steps=rs))
 
 
 if __name__ == "__main__":
