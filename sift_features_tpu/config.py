@@ -77,8 +77,10 @@ class SiftConfig:
     # kernel only, "region" = region-grouped step-1 kernel (co-located
     # candidates share one window DMA; dense vectorized solve + one-hot MXU
     # extraction) with the per-step kernel for the sparse later steps.
-    # Identical outputs for all three.
-    refine_mode: str = "tile"
+    # Identical outputs for all three. Default is the best MEASURED mode on
+    # the dev chip (per-step: 0.90 us/cand vs tile 1.72 — the tile kernel's
+    # per-candidate window DMAs dominate it; region is pending measurement).
+    refine_mode: str = "step"
     # With refine_mode="region": how many leading Newton steps use the
     # region-grouped kernel before falling back to the per-candidate skip
     # kernel (inactive lanes sort to the end, so sparse later steps compact
