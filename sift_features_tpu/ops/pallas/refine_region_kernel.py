@@ -10,10 +10,11 @@ first step:
 
   1. candidates are sorted by aligned REGION — (scale plane, 8-row band,
      128-lane band) — so candidates that share a (3, 16, 256) DMA window are
-     adjacent; at 32k candidates per 1080p octave ~7-8 candidates share each
-     region, so the window is DMA'd ONCE for all of them (per-candidate
-     `load` flags + VMEM buffer slots computed on the host side of the
-     launch, in XLA);
+     adjacent; measured at bench density (tree tiled to 1080p, 27.6k
+     candidates) sharing is 1.86 candidates/region, i.e. ~1.8x fewer DMAs
+     and (with the conditional second half) ~1.9x fewer bytes than the
+     per-candidate kernel (per-candidate `load` flags + VMEM buffer slots
+     computed on the host side of the launch, in XLA);
   2. the Newton solve + contrast/edge tests run DENSELY over each loaded
      window with pure vector ops (rolled taps; identical f32 op order to the
      sparse solve — per-cell results are bit-identical), writing 9 result
