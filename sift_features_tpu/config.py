@@ -74,12 +74,16 @@ class SiftConfig:
     # Newton-refinement kernel strategy on TPU: "tile" = tile-grouped kernel
     # (all 5 steps from VMEM-resident DoG windows, one launch; escapes fall
     # back to the per-step kernel), "step" = per-candidate per-step DMA
-    # kernel only, "region" = region-grouped step-1 kernel (co-located
+    # kernel only, "region" = region-grouped step kernels (co-located
     # candidates share one window DMA; dense vectorized solve + one-hot MXU
-    # extraction) with the per-step kernel for the sparse later steps.
-    # Identical outputs for all three. Default is the best MEASURED mode on
+    # extraction) with the per-step kernel for the sparse later steps,
+    # "walk" = whole loop in one launch: region-shared (n_dog, 48, 512)
+    # windows + dense per-cell fields for ALL scales + a BK-wide vectorized
+    # walk (no per-candidate loop anywhere; escapes fall back to "step").
+    # Identical outputs for all modes. Default is the best MEASURED mode on
     # the dev chip (per-step: 0.90 us/cand vs tile 1.72 — the tile kernel's
-    # per-candidate window DMAs dominate it; region is pending measurement).
+    # per-candidate window DMAs + serial walk dominate it; region/walk are
+    # pending measurement).
     refine_mode: str = "step"
     # With refine_mode="region": how many leading Newton steps use the
     # region-grouped kernel before falling back to the per-candidate skip

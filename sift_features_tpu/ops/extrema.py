@@ -246,9 +246,10 @@ def refine(dog: jnp.ndarray, s0, y0, x0, valid, cfg: SiftConfig = DEFAULT_CONFIG
 def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
                     h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
                     plane_off=None, interpret: bool = False):
-    """Dispatch between the tile-grouped whole-loop kernel (cfg.refine_mode
-    "tile"; ops.pallas.refine_tile_kernel) and the per-step kernel loop
-    (refine_tpu). Outputs are identical; "tile" is the fast path."""
+    """Dispatch on cfg.refine_mode: "tile" (whole loop, per-candidate window
+    DMAs), "walk" (whole loop, region-shared window DMAs + vectorized walk),
+    "region" (region-shared step kernels), "step" (per-candidate per-step
+    kernel). Outputs are identical for all modes."""
     # tile windows DMA with 8-row/128-lane aligned offsets; the clamped
     # origins are only provably aligned when the stack dims are multiples
     # (true for the fused-pyramid padded layout; the precomputed-pyramid
@@ -260,6 +261,11 @@ def refine_tpu_auto(dog_padded: jnp.ndarray, s0, y0, x0, valid, pad: int,
         from .pallas.refine_tile_kernel import refine_tile_tpu
 
         return refine_tile_tpu(dog_padded, s0, y0, x0, valid, pad, h, w,
+                               cfg, plane_off=plane_off, interpret=interpret)
+    if cfg.refine_mode == "walk" and tile_ok:
+        from .pallas.refine_walk_kernel import refine_walk_tpu
+
+        return refine_walk_tpu(dog_padded, s0, y0, x0, valid, pad, h, w,
                                cfg, plane_off=plane_off, interpret=interpret)
     return refine_tpu(dog_padded, s0, y0, x0, valid, pad, h, w, cfg,
                       plane_off=plane_off, interpret=interpret,

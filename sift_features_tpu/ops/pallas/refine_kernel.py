@@ -4,9 +4,10 @@ batch (reference interpolate_extremum, lib.rs:508-603).
 The XLA path gathers (K, 3, 3, 3) DoG cubes per step; on TPU that gather is
 quasi-serial (measured 26 ms for 32k candidates at 1080p). Here each grid
 step DMAs its candidates' cube neighborhoods HBM->VMEM (tile-aligned
-(3, 16, 128) regions — a second 128-lane half is fetched only for the ~2%
-of cubes that straddle a lane-block boundary — all of a block's copies in
-flight together), extracts the 27 cube values via rolls + (1,1) slices into
+(3, 8, 128) row-tiles — the second 128-lane half and second row-tile are
+fetched only when the cube actually straddles those boundaries (~2% / ~25%),
+all of a block's copies in flight together), extracts the 27 cube values
+via rolls + (1,1) slices into
 a (BK, 32) VMEM matrix, and solves the 3x3 Newton system VECTORIZED over
 the block. Candidate positions arrive as scalar prefetch; the surrounding
 lax loop (ops.extrema.refine_tpu) feeds each step's updated positions back
@@ -47,41 +48,55 @@ def _kernel(active_ref, s_ref, y_ref, x_ref, cand_ref, dog_hbm, out_ref, buf,
     blk = pl.program_id(0)
     base = blk * BK
 
+    half = n_rows // 2   # one HBM row tile (8 rows f32 / 16 rows bf16)
+
     def copies(k):
-        # 128-lane DMA halves: the 3-lane cube straddles a 128 boundary only
-        # when its first lane lands on offset >= 126, so the second half is
-        # fetched ~2% of the time (vs. an unconditional 256-lane fetch).
+        # conditional DMA quarters: the 3-lane cube straddles a 128-lane
+        # boundary only when its first lane lands on offset >= 126 (~2%),
+        # and the 3-row cube straddles a row-tile boundary only when its
+        # first row lands on tile offset > half-3 (~25% f32) — so the
+        # typical fetch is ONE (3, half, 128) tile instead of (3, 2*half,
+        # 256): ~1.6x fewer refine bytes at bench density.
         i = base + k
         ys = y_ref[i] - 1
         xs = x_ref[i] - 1
         ys_al = pl.multiple_of((ys // al) * al, al)
         xs_al = pl.multiple_of((xs // 128) * 128, 128)
-        need2 = (xs - xs_al) + 3 > 128
-        c1 = pltpu.make_async_copy(
-            dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
-                       pl.ds(ys_al, n_rows), pl.ds(xs_al, 128)],
-            buf.at[k, :, :, 0:128], sem.at[k, 0])
-        c2 = pltpu.make_async_copy(
-            dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
-                       pl.ds(ys_al, n_rows), pl.ds(xs_al + 128, 128)],
-            buf.at[k, :, :, 128:256], sem.at[k, 1])
-        return c1, c2, need2
+        need_l2 = (xs - xs_al) + 3 > 128
+        need_r2 = (ys - ys_al) + 3 > half
+        cs = []
+        for ri in range(2):
+            for li in range(2):
+                cs.append(pltpu.make_async_copy(
+                    dog_hbm.at[pl.ds(s_ref[i] - 1, 3),
+                               pl.ds(ys_al + ri * half, half),
+                               pl.ds(xs_al + li * 128, 128)],
+                    buf.at[k, :, ri * half:(ri + 1) * half,
+                           li * 128:(li + 1) * 128],
+                    sem.at[k, ri * 2 + li]))
+        return cs, need_r2, need_l2
+
+    def _dma(k, op):
+        cs, need_r2, need_l2 = copies(k)
+        op(cs[0])
+
+        @pl.when(need_l2)
+        def _():
+            op(cs[1])
+
+        @pl.when(need_r2)
+        def _():
+            op(cs[2])
+
+        @pl.when(need_r2 & need_l2)
+        def _():
+            op(cs[3])
 
     def dma_start(k):
-        c1, c2, need2 = copies(k)
-        c1.start()
-
-        @pl.when(need2)
-        def _():
-            c2.start()
+        _dma(k, lambda c: c.start())
 
     def dma_wait(k):
-        c1, c2, need2 = copies(k)
-        c1.wait()
-
-        @pl.when(need2)
-        def _():
-            c2.wait()
+        _dma(k, lambda c: c.wait())
 
     @pl.when(active_ref[blk] > 0)
     def _():
@@ -223,7 +238,7 @@ def refine_step_pallas(dog_padded, s, y, x, active, w_pad: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((BK, 3, rows, LANES_DMA), dog_padded.dtype),
-            pltpu.SemaphoreType.DMA((BK, 2)),
+            pltpu.SemaphoreType.DMA((BK, 4)),
         ],
     )
 

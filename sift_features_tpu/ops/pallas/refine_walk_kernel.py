@@ -1,0 +1,374 @@
+"""Pallas TPU kernel: REGION-WALK Newton refinement — all <=5 interpolation
+steps (reference interpolate_extremum, lib.rs:508-603) in ONE launch, with
+region-shared window DMAs and a fully VECTORIZED walk.
+
+Synthesis of the two earlier whole-stage attempts, built from their measured
+failure modes:
+
+  * the per-step kernel (refine_kernel.py) is bandwidth/launch bound: ~940 MB
+    of (3,16,256)-window DMAs + 5 launches per octave at bench density;
+  * the tile kernel (refine_tile_kernel.py) fixed the DMA side (one ~2.4 MB
+    window per 128x512 tile) but walks candidates through its dense step
+    field with a SERIAL per-candidate fori_loop (5 dynamic 768-lane rolls per
+    candidate) — measured SLOWER than per-step (1.72 vs 0.90 us/cand).
+
+This kernel keeps the dense-field idea and vectorizes everything:
+
+  1. candidates are grouped by (frame, 32-row, 256-lane) REGION; each region
+     DMAs ONE (n_dog, 48, 512) f32 window covering all scale planes + the
+     +-7-step walk margin (~490 MB / ~1k loads per 1080p octave — fewer
+     bytes AND ~20x fewer DMAs than per-step);
+  2. a dense Newton pass over the window (identical f32 op order per cell,
+     _newton_cols) fills a VMEM bank for ALL center scales: a packed
+     walk field (ok | big-step | 4-bit steps, integer-valued f32) plus the
+     five result fields (off_s/off_y/off_x/response/keep);
+  3. the <=5-step walk runs BK-wide with pure vector/MXU ops: the field at
+     every candidate's current (s, y, x) is fetched with a one-hot
+     (BK, SLAB) @ (SLAB, WL) contraction + lane-masked row reduction — both
+     one-hot operands are built directly in (BK, .) orientation from
+     position columns, so there is no transpose and no per-candidate loop;
+  4. scale steps NEVER escape (all planes are resident — the tile kernel's
+     main escape source, 14.5% of candidates at bench density); only walks
+     leaving the +-7 row/lane margin (~1.4%) or |step| > 7 escape to the
+     per-step fallback, which re-refines them from scratch with identical
+     semantics.
+
+Output row layout (BK, 16) f32 (same as refine_tile_kernel):
+  0 ok | 1 s_fin | 2 y_fin | 3 x_fin | 4 off_s | 5 off_y | 6 off_x |
+  7 response | 8 keep | 9 escaped | 10.. unused
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import DEFAULT_CONFIG, SiftConfig
+from .refine_tile_kernel import _newton_cols
+
+F32 = jnp.float32
+I32 = jnp.int32
+BK = 32          # candidates per grid block (one region per block)
+REG_R = 32       # region rows
+REG_C = 256      # region lanes
+WIN_R = 48       # window rows  = region + 8-aligned +-7 walk margin
+WIN_C = 512      # window lanes = region + 128-aligned margin
+MAX_STEP = 7     # |step| beyond this escapes (matches the tile kernel)
+N_FIN = 5        # off_s, off_y, off_x, response, keep
+
+
+def _sanitize(a):
+    """Zero non-finite values so one-hot contractions stay exact (0 * inf =
+    NaN would poison the row sums). Non-finite field values only occur at
+    cells whose ok flag is false (singular Hessians), where the caller never
+    reads the result fields."""
+    return jnp.where(a - a == F32(0.0), a, F32(0.0))
+
+
+def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
+            s_ref, y_ref, x_ref, act_ref, dog_hbm, out_ref,
+            win, bank_pk, bank_fin, sem,
+            *, contrast_threshold, edge_threshold, scales_per_octave,
+            pad, h, w, border, LR, LW, BK):
+    blk = pl.program_id(0)
+    nc = scales_per_octave
+    n_dog = nc + 2
+
+    @pl.when(blk_active[blk] == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((BK, 16), F32)
+
+    @pl.when(blk_active[blk] > 0)
+    def _():
+        r0 = pl.multiple_of(blk_r0[blk], 8)
+        c0 = pl.multiple_of(blk_c0[blk], 128)
+        pb = blk_pb[blk]
+        r0i = jnp.asarray(r0, I32)
+        c0i = jnp.asarray(c0, I32)
+
+        @pl.when(blk_load[blk] > 0)
+        def _():
+            for p in range(n_dog):
+                pltpu.make_async_copy(
+                    dog_hbm.at[pb + p, pl.ds(r0, LR), pl.ds(c0, LW)],
+                    win.at[pl.ds(p * LR, LR), :], sem.at[p]).start()
+            for p in range(n_dog):
+                pltpu.make_async_copy(
+                    dog_hbm.at[pb + p, pl.ds(r0, LR), pl.ds(c0, LW)],
+                    win.at[pl.ds(p * LR, LR), :], sem.at[p]).wait()
+
+            # dense Newton pass per center scale. Roll taps wrap at window
+            # rows 0/LR-1 and lanes 0/LW-1; those field cells are corrupt but
+            # the walk clamps lookups to [1, LR-2] x [1, LW-2] and flags the
+            # lane escaped, so they are never consumed.
+            for p in range(1, nc + 1):
+                rowtap = {}
+                for ds in range(3):
+                    plane = win[(p - 1 + ds) * LR:(p - 1 + ds) * LR + LR, :]
+                    rowtap[(ds, 1)] = plane
+                    rowtap[(ds, 0)] = pltpu.roll(plane, 1, axis=0)
+                    rowtap[(ds, 2)] = pltpu.roll(plane, LR - 1, axis=0)
+                cube = {}
+                for ds in range(3):
+                    for dy in range(3):
+                        rt = rowtap[(ds, dy)]
+                        cube[(ds, dy, 1)] = rt
+                        cube[(ds, dy, 0)] = pltpu.roll(rt, 1, axis=1)
+                        cube[(ds, dy, 2)] = pltpu.roll(rt, LW - 1, axis=1)
+                f = _newton_cols(
+                    cube, contrast_threshold=contrast_threshold,
+                    edge_threshold=edge_threshold,
+                    scales_per_octave=scales_per_octave)
+                # 4-bit step packing [-8, 7]; any |step| > 7 sets the escape
+                # bit, so the clipped value is never applied to a walk
+                sts = jnp.clip(f["step_s"], -8.0, 7.0)
+                sty = jnp.clip(f["step_y"], -8.0, 7.0)
+                stx = jnp.clip(f["step_x"], -8.0, 7.0)
+                bigstep = ((jnp.abs(f["step_s"]) > MAX_STEP)
+                           | (jnp.abs(f["step_y"]) > MAX_STEP)
+                           | (jnp.abs(f["step_x"]) > MAX_STEP))
+                pk = (f["ok"].astype(F32)
+                      + bigstep.astype(F32) * F32(2.0)
+                      + (sts + F32(8.0)) * F32(4.0)
+                      + (sty + F32(8.0)) * F32(64.0)
+                      + (stx + F32(8.0)) * F32(1024.0))
+                bank_pk[(p - 1) * LR:(p - 1) * LR + LR, :] = _sanitize(pk)
+                fin = [f["off_s"], f["off_y"], f["off_x"], f["response"],
+                       f["keep"].astype(F32)]
+                for fi, arr in enumerate(fin):
+                    q = (fi * nc + p - 1) * LR
+                    bank_fin[q:q + LR, :] = _sanitize(arr)
+
+        # gather candidate state into (BK, 1) columns
+        base = blk * BK
+        subl = jax.lax.broadcasted_iota(I32, (BK, 1), 0)
+        s_c = jnp.zeros((BK, 1), F32)
+        y_c = jnp.zeros((BK, 1), F32)
+        x_c = jnp.zeros((BK, 1), F32)
+        a_c = jnp.zeros((BK, 1), F32)
+        for k in range(BK):
+            i = base + k
+            mk = subl == k
+            s_c = s_c + jnp.where(mk, jnp.asarray(s_ref[i], F32), F32(0.0))
+            y_c = y_c + jnp.where(mk, jnp.asarray(y_ref[i], F32), F32(0.0))
+            x_c = x_c + jnp.where(mk, jnp.asarray(x_ref[i], F32), F32(0.0))
+            a_c = a_c + jnp.where(mk, jnp.asarray(act_ref[i], F32), F32(0.0))
+
+        i_lane = jax.lax.broadcasted_iota(I32, (BK, LW), 1)
+
+        def field_at(bank_ref, sel_row, x_col):
+            """bank_ref (R, LW) VMEM ref; sel_row/x_col (BK, 1) -> (BK, 1)."""
+            bank_rows = bank_ref[:, :]
+            R = (jax.lax.broadcasted_iota(I32, (BK, bank_rows.shape[0]), 1)
+                 == sel_row.astype(I32)).astype(F32)
+            E = jax.lax.dot_general(R, bank_rows, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=F32)   # (BK, LW)
+            C = (i_lane == x_col.astype(I32)).astype(F32)
+            return jnp.sum(E * C, axis=1, keepdims=True)
+
+        one = F32(1.0)
+        conv = jnp.zeros((BK, 1), F32)
+        dead = one - a_c
+        esc = jnp.zeros((BK, 1), F32)
+        for _step in range(5):
+            sc = jnp.clip(s_c, 1.0, float(nc))
+            yr = jnp.clip(y_c - jnp.asarray(r0i, F32), 1.0, float(LR - 2))
+            xr = jnp.clip(x_c - jnp.asarray(c0i, F32), 1.0, float(LW - 2))
+            v = field_at(bank_pk, (sc - one) * F32(LR) + yr, xr)
+            # decode packed walk value (integer-valued f32, exact < 2^15)
+            q4 = jnp.floor(v / F32(4.0))
+            ok = v - q4 * F32(4.0)
+            big = jnp.floor(ok / F32(2.0))
+            ok = ok - big * F32(2.0)
+            q64 = jnp.floor(q4 / F32(16.0))
+            sts = q4 - q64 * F32(16.0) - F32(8.0)
+            q1024 = jnp.floor(q64 / F32(16.0))
+            sty = q64 - q1024 * F32(16.0) - F32(8.0)
+            stx = q1024 - F32(8.0)
+
+            alive = (one - conv) * (one - dead) * (one - esc)
+            conv = conv + alive * ok
+            move = alive * (one - ok)
+            esc = esc + move * big
+            mv = move * (one - big)
+            s_c = s_c + mv * sts
+            y_c = y_c + mv * sty
+            x_c = x_c + mv * stx
+            bad = ((s_c < 1.0) | (s_c > float(nc))
+                   | (x_c - pad < border) | (x_c - pad >= w - border)
+                   | (y_c - pad < border) | (y_c - pad >= h - border)
+                   ).astype(F32)
+            dead = dead + mv * bad - dead * mv * bad       # dead |= mv*bad
+            outw = ((y_c - jnp.asarray(r0i, F32) < 1.0)
+                    | (y_c - jnp.asarray(r0i, F32) > float(LR - 2))
+                    | (x_c - jnp.asarray(c0i, F32) < 1.0)
+                    | (x_c - jnp.asarray(c0i, F32) > float(LW - 2))
+                    ).astype(F32)
+            add = mv * (one - bad) * outw
+            esc = esc + add - esc * add                    # esc |= ...
+
+        # final result fields at the converged cell
+        sc = jnp.clip(s_c, 1.0, float(nc))
+        yr = jnp.clip(y_c - jnp.asarray(r0i, F32), 1.0, float(LR - 2))
+        xr = jnp.clip(x_c - jnp.asarray(c0i, F32), 1.0, float(LW - 2))
+        fin = [field_at(bank_fin,
+                        (F32(fi * nc) + sc - one) * F32(LR) + yr, xr)
+               for fi in range(N_FIN)]
+
+        okc = conv * (one - esc)
+        cols = [okc, s_c, y_c, x_c,
+                fin[0] * okc, fin[1] * okc, fin[2] * okc,
+                fin[3] * okc, fin[4] * okc, esc]
+        olane = jax.lax.broadcasted_iota(I32, (1, 16), 1)
+        out = jnp.zeros((BK, 16), F32)
+        for j, c in enumerate(cols):
+            out = out + jnp.where(olane == j, c, F32(0.0))
+        out_ref[:, :] = out
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15))
+def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
+                      s, y, x, act, dog_flat, LR: int, LW: int,
+                      cfg: SiftConfig, pad: int, hw: tuple,
+                      interpret: bool = False):
+    nb = blk_active.shape[0]
+    h, w = hw
+    kernel = functools.partial(
+        _kernel, contrast_threshold=cfg.contrast_threshold,
+        edge_threshold=cfg.edge_threshold,
+        scales_per_octave=cfg.scales_per_octave,
+        pad=pad, h=h, w=w, border=cfg.image_border, LR=LR, LW=LW, BK=BK)
+    n_dog = cfg.scales_per_octave + 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BK, 16), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_dog * LR, LW), jnp.float32),
+            pltpu.VMEM((cfg.scales_per_octave * LR, LW), jnp.float32),
+            pltpu.VMEM((N_FIN * cfg.scales_per_octave * LR, LW),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((n_dog,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * BK, 16), jnp.float32),
+        interpret=interpret,
+    )(blk_active, blk_load, blk_r0, blk_c0, blk_pb, s, y, x, act, dog_flat)
+
+
+def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
+                    h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
+                    plane_off=None, interpret: bool = False):
+    """Region-walk refinement driver: same contract as ops.extrema.refine_tpu
+    (positions in PADDED coords, returns ok/s/y/x/offs/response/keep), the
+    whole <=5-step loop in one launch. Escaped candidates (walk left the
+    window margin or |step| > 7 — rare) are re-refined by the per-step
+    kernel, preserving exact reference semantics (lib.rs:508-603)."""
+    from ..extrema import refine_tpu
+
+    assert dog_flat.dtype == jnp.float32, "walk refinement requires f32 DoG"
+    n_dog = cfg.scales_per_octave + 2
+    Hp, Wp = dog_flat.shape[-2], dog_flat.shape[-1]
+    n_frames = dog_flat.shape[0] // n_dog
+    K = s0.shape[0]
+    LR = min(WIN_R, Hp)
+    LW = min(WIN_C, Wp)
+    NRY = -(-Hp // REG_R) if LR < Hp else 1
+    NRX = -(-Wp // REG_C) if LW < Wp else 1
+    NR = NRY * NRX
+
+    frame = (plane_off // n_dog if plane_off is not None
+             else jnp.zeros((K,), I32))
+    ry = jnp.clip(y0 // REG_R, 0, NRY - 1)
+    rx = jnp.clip(x0 // REG_C, 0, NRX - 1)
+    reg = ry * NRX + rx
+    gkey = frame * (NR + 1) + jnp.where(valid, reg, NR)
+
+    perm = jnp.argsort(gkey, stable=True)
+    inv_perm = jnp.argsort(perm, stable=True)
+    sorted_keys = gkey[perm]
+    NSEG = n_frames * (NR + 1)
+    seg_ids = jnp.arange(NSEG, dtype=I32)
+    starts = jnp.searchsorted(sorted_keys, seg_ids, side="left").astype(I32)
+    ends = jnp.searchsorted(sorted_keys, seg_ids, side="right").astype(I32)
+    counts = ends - starts
+    is_virtual = (seg_ids % (NR + 1)) == NR
+    padded = jnp.where(is_virtual, 0, -(-counts // BK) * BK)
+    cum = jnp.cumsum(padded)
+    offsets = cum - padded
+
+    T_cap = K + n_frames * NR * BK
+    T_cap = -(-T_cap // BK) * BK
+
+    slots = jnp.arange(T_cap, dtype=I32)
+    seg = jnp.searchsorted(cum, slots, side="right").astype(I32)
+    seg_c = jnp.minimum(seg, NSEG - 1)
+    rank = slots - offsets[seg_c]
+    active = (seg < NSEG) & (rank < counts[seg_c])
+    src = perm[jnp.clip(starts[seg_c] + rank, 0, K - 1)]
+    s_slot = jnp.where(active, s0[src], 1).astype(I32)
+    y_slot = jnp.where(active, y0[src], pad).astype(I32)
+    x_slot = jnp.where(active, x0[src], pad).astype(I32)
+    a_slot = active.astype(I32)
+
+    nb = T_cap // BK
+    seg_b = seg_c.reshape(nb, BK)[:, 0]
+    reg_b = seg_b % (NR + 1)
+    frame_b = seg_b // (NR + 1)
+    ry_b = jnp.clip(reg_b, 0, NR - 1) // NRX
+    rx_b = jnp.clip(reg_b, 0, NR - 1) % NRX
+    r0_b = jnp.clip(ry_b * REG_R - 8, 0, Hp - LR).astype(I32)
+    c0_b = jnp.clip(rx_b * REG_C - 128, 0, Wp - LW).astype(I32)
+    pb_b = (frame_b * n_dog).astype(I32)
+    active_b = jnp.sum(a_slot.reshape(nb, BK), axis=1, dtype=I32)
+
+    CHUNK = 32768
+    outs = []
+    for t0 in range(0, T_cap, CHUNK):
+        t1 = min(t0 + CHUNK, T_cap)
+        b0, b1 = t0 // BK, t1 // BK
+        seg_chunk = seg_b[b0:b1]
+        load = jnp.concatenate([
+            jnp.ones((1,), I32),
+            (seg_chunk[1:] != seg_chunk[:-1]).astype(I32)])
+        outs.append(_refine_walk_call(
+            active_b[b0:b1], load, r0_b[b0:b1], c0_b[b0:b1], pb_b[b0:b1],
+            s_slot[t0:t1], y_slot[t0:t1], x_slot[t0:t1], a_slot[t0:t1],
+            dog_flat, LR, LW, cfg, pad, (h, w), interpret))
+    out_slots = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    slot_k = offsets[jnp.clip(gkey, 0, NSEG - 1)] + (inv_perm - starts[
+        jnp.clip(gkey, 0, NSEG - 1)])
+    rows = out_slots[jnp.clip(slot_k, 0, T_cap - 1)]
+
+    escaped = (rows[:, 9] > 0) & valid
+    ok = (rows[:, 0] > 0) & valid
+    res = {
+        "ok": ok,
+        "s": rows[:, 1].astype(I32), "y": rows[:, 2].astype(I32),
+        "x": rows[:, 3].astype(I32),
+        "off_s": rows[:, 4], "off_y": rows[:, 5], "off_x": rows[:, 6],
+        "response": rows[:, 7], "keep": (rows[:, 8] > 0) & ok,
+    }
+    fb = refine_tpu(dog_flat, s0, y0, x0, escaped, pad, h, w, cfg,
+                    plane_off=plane_off, interpret=interpret)
+    return {
+        "ok": jnp.where(escaped, fb["ok"], res["ok"]),
+        "s": jnp.where(escaped, fb["s"], res["s"]),
+        "y": jnp.where(escaped, fb["y"], res["y"]),
+        "x": jnp.where(escaped, fb["x"], res["x"]),
+        "off_s": jnp.where(escaped, fb["off_s"], res["off_s"]),
+        "off_y": jnp.where(escaped, fb["off_y"], res["off_y"]),
+        "off_x": jnp.where(escaped, fb["off_x"], res["off_x"]),
+        "response": jnp.where(escaped, fb["response"], res["response"]),
+        "keep": jnp.where(escaped, fb["keep"], res["keep"]),
+    }

@@ -474,6 +474,50 @@ def test_refine_region_step_matches_perstep():
     assert (eq[:, 4:8] | ~np.isfinite(ref[:, 4:8])).all()    # offs/response
 
 
+@pytest.mark.smoke
+def test_refine_walk_matches_perstep_loop():
+    """Region-walk whole-loop kernel (interpret) vs the per-step kernel loop:
+    byte-exact outputs on every converged field. Exercises multi-frame
+    plane_off, a >BK-candidate region (block straddling + window reuse),
+    long walks and escape fallback (smooth DoG drives multi-cell walks)."""
+    from scipy import ndimage
+
+    from sift_features_tpu.ops.extrema import refine_tpu
+    from sift_features_tpu.ops.pallas.refine_walk_kernel import (
+        refine_walk_tpu)
+
+    rng = np.random.RandomState(9)
+    S, Hp, Wp = 5, 96, 512          # fused-layout-aligned dims
+    NF = 2
+    dog = np.stack([
+        ndimage.gaussian_filter(rng.randn(Hp, Wp), 4).astype(np.float32) * 0.2
+        for _ in range(NF * S)])
+    cfg = DEFAULT_CONFIG
+    P = 17
+    h, w = Hp - 2 * P, Wp - 2 * P
+    K = 96
+    s = rng.randint(1, 4, K).astype(np.int32)
+    y = rng.randint(P + 1, Hp - P, K).astype(np.int32)
+    x = rng.randint(P + 1, Wp - P, K).astype(np.int32)
+    y[:50] = rng.randint(33, 63, 50)       # one region >BK candidates
+    x[:50] = rng.randint(257, 480, 50)
+    plane_off = (rng.randint(0, NF, K) * S).astype(np.int32)
+    valid = np.arange(K) < 90
+
+    out = refine_walk_tpu(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
+                          jnp.asarray(x), jnp.asarray(valid), P, h, w, cfg,
+                          plane_off=jnp.asarray(plane_off), interpret=True)
+    ref = refine_tpu(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
+                     jnp.asarray(x), jnp.asarray(valid), P, h, w, cfg,
+                     plane_off=jnp.asarray(plane_off), interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    assert ref["ok"][valid].sum() > 0      # the case must converge somewhere
+    for kf in ref:
+        m = (valid & ref["ok"] if kf not in ("ok",) else valid)
+        np.testing.assert_array_equal(out[kf][m], ref[kf][m], err_msg=kf)
+
+
 @pytest.mark.mid
 def test_packed_orientation_matches_perkey():
     """Lane-packed orientation kernel vs the per-keypoint kernel (interpret).

@@ -1,8 +1,9 @@
-"""On-TPU check: tile-grouped / region-grouped refinement vs the XLA
+"""On-TPU check: tile / region / region-walk refinement vs the XLA
 reference loop.
 Usage: python tools/check_tile_refine.py [h w K]            (tile correctness)
        python tools/check_tile_refine.py region [h w K]     (region correctness)
-       python tools/check_tile_refine.py bench [h w K iters] (tile/region/step)
+       python tools/check_tile_refine.py walk [h w K]       (walk correctness)
+       python tools/check_tile_refine.py bench [h w K iters] (all-mode timing)
 """
 
 import os
@@ -83,10 +84,11 @@ def main():
     assert ok_eq == 1.0 and keep_eq == 1.0 and pos_eq == 1.0
 
 
-def main_region():
+def main_region(mode="region"):
     """Region-grouped path (refine_tpu region_steps=5, i.e. every step runs
-    the region kernel incl. sparse ones) vs the XLA reference loop.
-    python tools/check_tile_refine.py region [h w K]"""
+    the region kernel incl. sparse ones) or the region-walk whole-loop path
+    vs the XLA reference loop.
+    python tools/check_tile_refine.py {region|walk} [h w K]"""
     import jax
     import jax.numpy as jnp
 
@@ -121,13 +123,21 @@ def main_region():
     x[:k] = x0[pick]
     valid = np.arange(K) < k
 
+    if mode == "walk":
+        from sift_features_tpu.ops.pallas.refine_walk_kernel import (
+            refine_walk_tpu)
+
+        fn = lambda d, ss, yy, xx, vv: refine_walk_tpu(          # noqa: E731
+            d, ss, yy, xx, vv, P, h, w, cfg)
+    else:
+        fn = lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(       # noqa: E731
+            d, ss, yy, xx, vv, P, h, w, cfg, region_steps=5)
     t0 = time.time()
-    out = jax.jit(lambda d, ss, yy, xx, vv: ext_ops.refine_tpu(
-        d, ss, yy, xx, vv, P, h, w, cfg, region_steps=5))(
+    out = jax.jit(fn)(
         jnp.asarray(dog_p), jnp.asarray(s), jnp.asarray(y + P),
         jnp.asarray(x + P), jnp.asarray(valid))
     out = {kk: np.asarray(v) for kk, v in out.items()}
-    print(f"region path ran in {time.time()-t0:.1f}s (incl. compile)",
+    print(f"{mode} path ran in {time.time()-t0:.1f}s (incl. compile)",
           flush=True)
 
     ref = ext_ops.refine(jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y),
@@ -216,11 +226,17 @@ def bench():
               ext_ops.refine_tpu(d, ss, yy, xx, vv, P, h, w, cfg,
                                  region_steps=rs))
 
+    from sift_features_tpu.ops.pallas.refine_walk_kernel import (
+        refine_walk_tpu)
+
+    timed("walk  ", lambda d, ss, yy, xx, vv: refine_walk_tpu(
+        d, ss, yy, xx, vv, P, h, w, cfg))
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "bench":
         bench()
-    elif len(sys.argv) > 1 and sys.argv[1] == "region":
-        main_region()
+    elif len(sys.argv) > 1 and sys.argv[1] in ("region", "walk"):
+        main_region(sys.argv[1])
     else:
         main()

@@ -22,11 +22,12 @@ run packed         python tools/check_packed.py 4096 5
 # 2) correctness gates
 run tile_correct   python tools/check_tile_refine.py
 run region_correct python tools/check_tile_refine.py region
+run walk_correct   python tools/check_tile_refine.py walk
 run budget         python tools/check_budget.py
 run parity         python tools/parity_pallas.py
 # 3) stage ablation + headline sweep (env-selectable modes)
 run ablate         python tools/ablate_stages.py
-for m in tile step region; do
+for m in tile step region walk; do
   run "bench_$m" env BENCH_REFINE_MODE=$m BENCH_SKIP_CV2=1 python bench.py
 done
 run bench_final    python bench.py
