@@ -70,13 +70,15 @@ def _sanitize(a):
 
 
 def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
+            blk_par, blk_first, nxt_r0, nxt_c0, nxt_pb, nxt_has,
             s_ref, y_ref, x_ref, act_ref, dog_hbm, out_ref,
-            win, bank_pk, bank_fin, sem,
+            win, win_a, bank_pk, bank_fin, sem,
             *, contrast_threshold, edge_threshold, scales_per_octave,
             pad, h, w, border, LR, LW, BK):
     blk = pl.program_id(0)
     nc = scales_per_octave
     n_dog = nc + 2
+    WLR = n_dog * LR
 
     @pl.when(blk_active[blk] == 0)
     def _():
@@ -92,14 +94,42 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
 
         @pl.when(blk_load[blk] > 0)
         def _():
-            for p in range(n_dog):
-                pltpu.make_async_copy(
-                    dog_hbm.at[pb + p, pl.ds(r0, LR), pl.ds(c0, LW)],
-                    win.at[pl.ds(p * LR, LR), :], sem.at[p]).start()
-            for p in range(n_dog):
-                pltpu.make_async_copy(
-                    dog_hbm.at[pb + p, pl.ds(r0, LR), pl.ds(c0, LW)],
-                    win.at[pl.ds(p * LR, LR), :], sem.at[p]).wait()
+            # double-buffered window DMA: every load block waits on its own
+            # region's copies (started by the PREVIOUS load block, or by
+            # itself on bootstrap) and immediately starts the NEXT load
+            # block's region into the other buffer half, so the next DMA
+            # overlaps this block's dense solve + walks. The parity branch
+            # is static so copy dst/semaphore indices stay static; the
+            # active window is then VMEM-copied into win_a so the dense
+            # solve below is parity-independent.
+            def copyset(dstbase, r0v, c0v, pbv, semrow):
+                return [pltpu.make_async_copy(
+                    dog_hbm.at[pbv + p, pl.ds(r0v, LR), pl.ds(c0v, LW)],
+                    win.at[pl.ds(dstbase + p * LR, LR), :],
+                    sem.at[semrow, p]) for p in range(n_dog)]
+
+            for parv in (0, 1):
+                @pl.when(blk_par[blk] == parv)
+                def _(parv=parv):
+                    own = copyset(parv * WLR, r0, c0, pb, parv)
+
+                    @pl.when(blk_first[blk] > 0)
+                    def _():
+                        for c in own:
+                            c.start()
+
+                    for c in own:
+                        c.wait()
+
+                    @pl.when(nxt_has[blk] > 0)
+                    def _():
+                        nr0 = pl.multiple_of(nxt_r0[blk], 8)
+                        nc0 = pl.multiple_of(nxt_c0[blk], 128)
+                        for c in copyset((1 - parv) * WLR, nr0, nc0,
+                                         nxt_pb[blk], 1 - parv):
+                            c.start()
+
+                    win_a[:, :] = win[parv * WLR:(parv + 1) * WLR, :]
 
             # dense Newton pass per center scale. Roll taps wrap at window
             # rows 0/LR-1 and lanes 0/LW-1; those field cells are corrupt but
@@ -108,7 +138,7 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
             for p in range(1, nc + 1):
                 rowtap = {}
                 for ds in range(3):
-                    plane = win[(p - 1 + ds) * LR:(p - 1 + ds) * LR + LR, :]
+                    plane = win_a[(p - 1 + ds) * LR:(p - 1 + ds) * LR + LR, :]
                     rowtap[(ds, 1)] = plane
                     rowtap[(ds, 0)] = pltpu.roll(plane, 1, axis=0)
                     rowtap[(ds, 2)] = pltpu.roll(plane, LR - 1, axis=0)
@@ -230,8 +260,9 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
         out_ref[:, :] = out
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(16, 17, 18, 19, 20, 21))
 def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
+                      blk_par, blk_first, nxt_r0, nxt_c0, nxt_pb, nxt_has,
                       s, y, x, act, dog_flat, LR: int, LW: int,
                       cfg: SiftConfig, pad: int, hw: tuple,
                       interpret: bool = False):
@@ -244,17 +275,18 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
         pad=pad, h=h, w=w, border=cfg.image_border, LR=LR, LW=LW, BK=BK)
     n_dog = cfg.scales_per_octave + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=15,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BK, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2 * n_dog * LR, LW), jnp.float32),
             pltpu.VMEM((n_dog * LR, LW), jnp.float32),
             pltpu.VMEM((cfg.scales_per_octave * LR, LW), jnp.float32),
             pltpu.VMEM((N_FIN * cfg.scales_per_octave * LR, LW),
                        jnp.float32),
-            pltpu.SemaphoreType.DMA((n_dog,)),
+            pltpu.SemaphoreType.DMA((2, n_dog)),
         ],
     )
     return pl.pallas_call(
@@ -262,7 +294,9 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * BK, 16), jnp.float32),
         interpret=interpret,
-    )(blk_active, blk_load, blk_r0, blk_c0, blk_pb, s, y, x, act, dog_flat)
+    )(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
+      blk_par, blk_first, nxt_r0, nxt_c0, nxt_pb, nxt_has,
+      s, y, x, act, dog_flat)
 
 
 def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
@@ -336,12 +370,27 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     for t0 in range(0, T_cap, CHUNK):
         t1 = min(t0 + CHUNK, T_cap)
         b0, b1 = t0 // BK, t1 // BK
+        nbc = b1 - b0
         seg_chunk = seg_b[b0:b1]
         load = jnp.concatenate([
             jnp.ones((1,), I32),
             (seg_chunk[1:] != seg_chunk[:-1]).astype(I32)])
+        # prefetch schedule: load-ordinal parity picks the window buffer
+        # half; each load block starts the NEXT load block's DMAs
+        ordinal = jnp.cumsum(load) - 1
+        par_c = (ordinal % 2).astype(I32)
+        first_c = ((ordinal == 0) & (load > 0)).astype(I32)
+        idx = jnp.arange(nbc, dtype=I32)
+        idx_if = jnp.where(load > 0, idx, nbc)
+        suf = jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.concatenate([idx_if[1:], jnp.full((1,), nbc, I32)]))))
+        nxtidx = jnp.clip(suf, 0, nbc - 1)
+        act_c = active_b[b0:b1]
+        nxt_has = ((suf < nbc) & (act_c[nxtidx] > 0)).astype(I32)
         outs.append(_refine_walk_call(
-            active_b[b0:b1], load, r0_b[b0:b1], c0_b[b0:b1], pb_b[b0:b1],
+            act_c, load, r0_b[b0:b1], c0_b[b0:b1], pb_b[b0:b1],
+            par_c, first_c, r0_b[b0:b1][nxtidx], c0_b[b0:b1][nxtidx],
+            pb_b[b0:b1][nxtidx], nxt_has,
             s_slot[t0:t1], y_slot[t0:t1], x_slot[t0:t1], a_slot[t0:t1],
             dog_flat, LR, LW, cfg, pad, (h, w), interpret))
     out_slots = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
