@@ -582,6 +582,45 @@ def test_packed_descriptor_matches_perkey():
 
 
 @pytest.mark.slow
+def test_detect_octave_walk_mode_interpret(bird_small_cv2):
+    """Walk-mode refinement through the REAL detection path (interpret) vs
+    the all-XLA branch on a bird_small crop: same keypoint set."""
+    import dataclasses
+
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import _detect_octave
+    from sift_features_tpu.ops import pyramid as pyr_ops
+    from sift_features_tpu.ops.gaussian import gaussian_blur
+
+    cfg = DEFAULT_CONFIG
+    img = bird_small_cv2[:96, :128]
+    seed = pyr_ops.create_seed_image(jnp.asarray(img)[None], cfg)[0]
+    levels = [seed]
+    for sig in cfg.octave_sigmas()[1:]:
+        levels.append(gaussian_blur(levels[-1], sig))
+    gauss = jnp.stack(levels, axis=0)
+    dog = gauss[1:] - gauss[:-1]
+
+    r_ref = _detect_octave(gauss, dog, 0,
+                           dataclasses.replace(cfg, use_pallas=False))
+    r_wlk = _detect_octave(gauss, dog, 0,
+                           dataclasses.replace(cfg, refine_mode="walk"),
+                           interpret=True)
+    kp_r = np.asarray(r_ref["kps"])[np.asarray(r_ref["valid"])]
+    kp_w = np.asarray(r_wlk["kps"])[np.asarray(r_wlk["valid"])]
+    assert len(kp_r) == len(kp_w) and len(kp_r) > 3
+
+    def canon(k):
+        key = np.round(k[:, :3].astype(np.float64), 4)
+        return k[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+
+    a, b = canon(kp_w), canon(kp_r)
+    np.testing.assert_allclose(a[:, [0, 1, 2, 4]], b[:, [0, 1, 2, 4]],
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(a[:, 3], b[:, 3], rtol=0, atol=0.05)
+
+
+@pytest.mark.slow
 def test_detect_octave_row_band_pallas_interpret(bird_small_cv2):
     """Row-banded detection on the Pallas branch (spatial sharding path,
     TRACED bounds): the extrema scan takes the XLA reduce-window path while
