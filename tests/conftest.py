@@ -27,6 +27,15 @@ import pytest  # noqa: E402
 REFERENCE_ROOT = "/root/reference"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Free each module's compiled executables when it finishes: the XLA:CPU
+    compiler (LLVM) segfaults once a process accumulates the full tier's
+    worth of large compiled Pallas interpret programs (see pytest.ini)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def reference_root():
     import os
