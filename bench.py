@@ -22,13 +22,9 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent XLA compilation cache (works with this backend; verified):
     repeat bench/driver runs skip the multi-minute remote compiles."""
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/root/.cache/jax_comp_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    import jax
+    from sift_features_tpu.utils.cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    enable_compile_cache()
 
 
 def make_frames(b: int, h: int = 1080, w: int = 1920) -> np.ndarray:

@@ -333,7 +333,14 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     if not describe:
         # budgeted path (C15, lib.rs:156-161): the global response top-K is
         # taken BEFORE descriptors; return the descriptor-kernel inputs so
-        # only selected keypoints are described later
+        # only selected keypoints are described later.
+        # MEMORY tradeoff: deferring description keeps EVERY octave's window
+        # stack (win_ctx) alive until the global top-K resolves, so peak HBM
+        # grows from ~one octave's stack to the sum over octaves (~4/3 of
+        # octave 0's) — the same retention the reference's PrecomputedImages
+        # has (lib.rs:124-145, all octaves held until describe). Callers
+        # whose batch barely fits unbudgeted should lower the batch size or
+        # use gather_dtype="bfloat16" (halves win_ctx) when setting a budget.
         res["desc_in"] = {"kp_s": kp_s, "xi": xi, "yi": yi, "kp_sc": kp_sc,
                           "kp_angle": kp_angle}
         res["win_ctx"] = (gauss_flat, win_planes)

@@ -283,8 +283,9 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
     for si, r_max in bucket_radii_ori(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, K)
-        packed = (cfg.window_kernel == "packed"
-                  and 128 // (2 * r_max + 3) >= 2)
+        from .descriptor_packed import pack_p
+
+        packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
         fn = (orientation_histograms_packed if packed
               else orientation_histograms_pallas)
         hb = fn(gauss_padded, s_img[idxb], y[idxb], x[idxb], kp_scale[idxb],

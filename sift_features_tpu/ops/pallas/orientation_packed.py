@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import DEFAULT_CONFIG, SiftConfig
 from .util import atan2_f32, round_half_away
+from .descriptor_packed import pack_p
 from .orientation_kernel import _subl, _smooth
 
 F32 = jnp.float32
@@ -56,18 +57,9 @@ BK = 128                    # candidates per grid block (output lane width)
 
 def _pack_layout(r_max: int):
     """Static lane layout: p windows of wn = 2*r_max+3 lanes at stride
-    128//p. Returns (p, stride, per-lane numpy vectors)."""
-    wn = 2 * r_max + 3
-    p = LANES // wn
-    stride = LANES // p
-    q = np.arange(LANES)
-    grp = q // stride                      # group index (may be >= p at tail)
-    m = q - grp * stride                   # window column within the slot
-    in_grp = grp < p
-    # gradient centers live at window cols [1, wn-1)
-    colvalid = in_grp & (m >= 1) & (m <= wn - 2)
-    dxx = np.where(colvalid, m - 1 - r_max, 10 ** 6).astype(np.int32)
-    return p, stride, grp.astype(np.int32), dxx, colvalid
+    128//p (the kernel rebuilds the per-lane vectors from iota)."""
+    p = pack_p(r_max)
+    return p, LANES // p
 
 
 def _kernel(count_ref, s_ref, y_ref, x_ref,
@@ -278,7 +270,7 @@ def orientation_histograms_packed(gauss_padded, s, y, x, kp_scale, count,
         return jnp.pad(a, (0, padn))
 
     n_bins = cfg.n_orientation_bins
-    p, stride, _, _, _ = _pack_layout(r_max)
+    p, stride = _pack_layout(r_max)
 
     kernel = functools.partial(
         _kernel, n_bins=n_bins, lambda_ori=cfg.lambda_ori,

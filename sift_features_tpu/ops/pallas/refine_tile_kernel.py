@@ -332,107 +332,39 @@ def refine_tile_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     Escaped candidates (walk left the tile window — rare) are re-refined by
     the per-step kernel and merged, preserving exact reference semantics."""
     from ..extrema import refine_tpu
+    from .region_group import group_by_region, merge_escaped
 
     assert dog_flat.dtype == jnp.float32, "tile refinement requires f32 DoG"
     n_dog = cfg.scales_per_octave + 2
     Hp, Wp = dog_flat.shape[-2], dog_flat.shape[-1]
     n_frames = dog_flat.shape[0] // n_dog
-    K = s0.shape[0]
     LR = min(WIN_R, Hp)
     LW = min(WIN_C, Wp)
-    NTY = -(-Hp // TILE_R) if LR < Hp else 1
-    NTX = -(-Wp // TILE_C) if LW < Wp else 1
-    NT = NTY * NTX
 
-    frame = (plane_off // n_dog if plane_off is not None
-             else jnp.zeros((K,), I32))
-    ty = jnp.clip(y0 // TILE_R, 0, NTY - 1)
-    tx = jnp.clip(x0 // TILE_C, 0, NTX - 1)
-    tile = ty * NTX + tx
-    gkey = frame * (NT + 1) + jnp.where(valid, tile, NT)
-
-    perm = jnp.argsort(gkey, stable=True)
-    inv_perm = jnp.argsort(perm, stable=True)
-    sorted_keys = gkey[perm]
-    NSEG = n_frames * (NT + 1)
-    seg_ids = jnp.arange(NSEG, dtype=I32)
-    starts = jnp.searchsorted(sorted_keys, seg_ids, side="left").astype(I32)
-    ends = jnp.searchsorted(sorted_keys, seg_ids, side="right").astype(I32)
-    counts = ends - starts
-    is_virtual = (seg_ids % (NT + 1)) == NT
-    padded = jnp.where(is_virtual, 0, -(-counts // BK) * BK)
-    cum = jnp.cumsum(padded)                     # inclusive
-    offsets = cum - padded                       # exclusive
-
-    T_cap = K + n_frames * NT * BK               # static worst case
-    T_cap = -(-T_cap // BK) * BK
-
-    slots = jnp.arange(T_cap, dtype=I32)
-    seg = jnp.searchsorted(cum, slots, side="right").astype(I32)
-    seg_c = jnp.minimum(seg, NSEG - 1)
-    rank = slots - offsets[seg_c]
-    active = (seg < NSEG) & (rank < counts[seg_c])
-    src = perm[jnp.clip(starts[seg_c] + rank, 0, K - 1)]
-    s_slot = jnp.where(active, s0[src], 1).astype(I32)
-    y_slot = jnp.where(active, y0[src], pad).astype(I32)
-    x_slot = jnp.where(active, x0[src], pad).astype(I32)
-    a_slot = active.astype(I32)
-
-    nb = T_cap // BK
-    seg_b = seg_c.reshape(nb, BK)[:, 0]
-    tile_b = seg_b % (NT + 1)
-    frame_b = seg_b // (NT + 1)
-    ty_b = jnp.clip(tile_b, 0, NT - 1) // NTX
-    tx_b = jnp.clip(tile_b, 0, NT - 1) % NTX
-    r0_b = jnp.clip(ty_b * TILE_R - 16, 0, Hp - LR).astype(I32)
-    c0_b = jnp.clip(tx_b * TILE_C - 128, 0, Wp - LW).astype(I32)
-    pb_b = (frame_b * n_dog).astype(I32)
-    active_b = jnp.sum(a_slot.reshape(nb, BK), axis=1, dtype=I32)
+    g = group_by_region(s0, y0, x0, valid, pad, Hp, Wp, n_dog, n_frames,
+                        plane_off, TILE_R, TILE_C, WIN_R, WIN_C, 16, 128, BK)
 
     # chunked kernel calls (SMEM scalar-prefetch budget; see refine_tpu)
     CHUNK = 32768
     outs = []
-    for t0 in range(0, T_cap, CHUNK):
-        t1 = min(t0 + CHUNK, T_cap)
+    for t0 in range(0, g.T_cap, CHUNK):
+        t1 = min(t0 + CHUNK, g.T_cap)
         b0, b1 = t0 // BK, t1 // BK
-        seg_chunk = seg_b[b0:b1]
+        seg_chunk = g.seg_b[b0:b1]
         load = jnp.concatenate([
             jnp.ones((1,), I32),
             (seg_chunk[1:] != seg_chunk[:-1]).astype(I32)])
         outs.append(_refine_tile_call(
-            active_b[b0:b1], load, r0_b[b0:b1], c0_b[b0:b1], pb_b[b0:b1],
-            s_slot[t0:t1], y_slot[t0:t1], x_slot[t0:t1], a_slot[t0:t1],
+            g.active_b[b0:b1], load, g.r0_b[b0:b1], g.c0_b[b0:b1],
+            g.pb_b[b0:b1], g.s_slot[t0:t1], g.y_slot[t0:t1],
+            g.x_slot[t0:t1], g.a_slot[t0:t1],
             dog_flat, LR, LW, cfg, pad, (h, w), interpret))
     out_slots = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    # map results back to original candidate order
-    slot_k = offsets[jnp.clip(gkey, 0, NSEG - 1)] + (inv_perm - starts[
-        jnp.clip(gkey, 0, NSEG - 1)])
-    rows = out_slots[jnp.clip(slot_k, 0, T_cap - 1)]
-
-    escaped = (rows[:, 9] > 0) & valid
-    ok = (rows[:, 0] > 0) & valid
-    res = {
-        "ok": ok,
-        "s": rows[:, 1].astype(I32), "y": rows[:, 2].astype(I32),
-        "x": rows[:, 3].astype(I32),
-        "off_s": rows[:, 4], "off_y": rows[:, 5], "off_x": rows[:, 6],
-        "response": rows[:, 7], "keep": (rows[:, 8] > 0) & ok,
-    }
+    rows = out_slots[jnp.clip(g.slot_k, 0, g.T_cap - 1)]
     # fallback pass for escaped candidates: full re-refinement from the
     # ORIGINAL position with the per-step kernel (deterministic, identical
     # reference semantics; blocks with no escaped lanes are skipped fast)
-    fb = refine_tpu(dog_flat, s0, y0, x0, escaped, pad, h, w, cfg,
-                    plane_off=plane_off, interpret=interpret)
-    merged = {
-        "ok": jnp.where(escaped, fb["ok"], res["ok"]),
-        "s": jnp.where(escaped, fb["s"], res["s"]),
-        "y": jnp.where(escaped, fb["y"], res["y"]),
-        "x": jnp.where(escaped, fb["x"], res["x"]),
-        "off_s": jnp.where(escaped, fb["off_s"], res["off_s"]),
-        "off_y": jnp.where(escaped, fb["off_y"], res["off_y"]),
-        "off_x": jnp.where(escaped, fb["off_x"], res["off_x"]),
-        "response": jnp.where(escaped, fb["response"], res["response"]),
-        "keep": jnp.where(escaped, fb["keep"], res["keep"]),
-    }
-    return merged
+    return merge_escaped(rows, valid, lambda esc: refine_tpu(
+        dog_flat, s0, y0, x0, esc, pad, h, w, cfg,
+        plane_off=plane_off, interpret=interpret))

@@ -74,6 +74,21 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
         in_specs=P("data", None, None),
         out_specs=out_specs, check_vma=False)(imgs_u8)
 
+    if features_limit is not None and n_space > 1:
+        # spatial meshes detect per row band, so the budget cannot be taken
+        # before description inside a member (no member sees the whole
+        # frame); truncate post-hoc to the per-frame response top-K instead —
+        # identical output semantics to the fused budgeted path (C15), the
+        # descriptor-stage saving just doesn't apply on this latency-oriented
+        # path. Keeps the ring database at budget size either way.
+        kb = min(features_limit, res["kps"].shape[1])
+        respb = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
+        bval, bidx = jax.lax.top_k(respb, kb)
+        res["kps"] = jnp.take_along_axis(res["kps"], bidx[..., None], axis=1)
+        res["desc"] = jnp.take_along_axis(res["desc"], bidx[..., None],
+                                          axis=1)
+        res["valid"] = jnp.isfinite(bval)
+
     # Build the query set: top-K keypoints per frame by response (fixed K for
     # static shapes; invalid lanes have response 0 and are masked).
     resp = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)

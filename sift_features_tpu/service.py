@@ -73,18 +73,23 @@ class DescriptorIndex:
                                   + np.asarray(res["valid"]).shape[0],
                                   dtype=np.int64)
         self.db = self.db.extend(DescriptorDB.from_batch(res, frame_ids))
+        self._row_maps_cache = None
 
     # --- query ------------------------------------------------------------
 
     def _row_maps(self):
+        """row -> (frame id, keypoint index) maps, cached per DB mutation:
+        queries are O(matches), not O(frames) + O(rows)."""
+        cached = getattr(self, "_row_maps_cache", None)
+        if cached is not None and cached[0] == len(self.db.frame_ids):
+            return cached[1], cached[2]
         offs = self.db.offsets
         n = int(offs[-1])
-        row_frame = np.zeros(n, np.int64)
-        row_kp = np.zeros(n, np.int64)
-        for f in range(len(self.db.frame_ids)):
-            lo, hi = int(offs[f]), int(offs[f + 1])
-            row_frame[lo:hi] = self.db.frame_ids[f]
-            row_kp[lo:hi] = np.arange(hi - lo)
+        lens = np.diff(offs).astype(np.int64)
+        row_frame = np.repeat(np.asarray(self.db.frame_ids, np.int64), lens)
+        row_kp = np.arange(n, dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), lens)
+        self._row_maps_cache = (len(self.db.frame_ids), row_frame, row_kp)
         return row_frame, row_kp
 
     def query(self, desc_q, cross_check: bool = True) -> QueryResult:

@@ -136,6 +136,22 @@ def test_extract_match_step_budget(bird_small_cv2):
         np.testing.assert_allclose(kps[b][valid[b]][:, 4],
                                    fk[b][order][:, 4], rtol=0, atol=0)
 
+    # spatial mesh: budget applies post-hoc (no member sees the whole frame)
+    # with identical output semantics — same per-frame top-K response SET
+    mesh_s = make_mesh(n_data=2, n_space=2)
+    res_s = extract_match_step(jnp.asarray(imgs[:2]), n_oct, cfg, mesh_s, 16,
+                               limit)
+    kps_s = np.asarray(res_s["kps"])
+    valid_s = np.asarray(res_s["valid"])
+    assert kps_s.shape[1] == limit
+    for b in range(2):
+        resp = np.where(fv[b], fk[b][:, 4], -np.inf)
+        order = np.argsort(-resp, kind="stable")[:limit]
+        order = order[resp[order] > -np.inf]
+        np.testing.assert_allclose(np.sort(kps_s[b][valid_s[b]][:, 4]),
+                                   np.sort(fk[b][order][:, 4]),
+                                   rtol=0, atol=0)
+
 
 def test_ring_match_u8_equals_f32():
     """u8 descriptors take the int8 MXU ring; retained matches and distances

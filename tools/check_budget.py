@@ -4,12 +4,10 @@ must match exactly.
 Usage: python tools/check_budget.py [image] [budget]
 """
 
-import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
 import numpy as np  # noqa: E402
 
@@ -17,8 +15,9 @@ import numpy as np  # noqa: E402
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from sift_features_tpu.io.image import load_gray
     from sift_features_tpu.models import extractor
 

@@ -4,14 +4,11 @@ per-keypoint kernels — byte equality and timing at realistic density.
 Usage: python tools/check_packed.py [K iters]
 """
 
-import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/.cache/jax_comp_cache")
 
 import numpy as np  # noqa: E402
 
@@ -20,8 +17,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from sift_features_tpu.config import DEFAULT_CONFIG
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops.pallas.descriptor_kernel import (

@@ -6,13 +6,11 @@ Usage: python tools/check_tile_refine.py [h w K]            (tile correctness)
        python tools/check_tile_refine.py bench [h w K iters] (all-mode timing)
 """
 
-import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
 import numpy as np  # noqa: E402
 
@@ -21,8 +19,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from sift_features_tpu.config import DEFAULT_CONFIG
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops import extrema as ext_ops
@@ -92,8 +91,9 @@ def main_region(mode="region"):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from sift_features_tpu.config import DEFAULT_CONFIG
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops import extrema as ext_ops
@@ -166,8 +166,9 @@ def bench():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from sift_features_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from sift_features_tpu.config import DEFAULT_CONFIG
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops import extrema as ext_ops
