@@ -142,6 +142,42 @@ def main():
         int(s)
         fps_budget = round(b * iters / (time.perf_counter() - t0), 2)
 
+    # streaming end-to-end variant (BENCH_STREAM=1): JPEG files -> native
+    # threaded decode pool -> H2D -> device extract -> host readback, with
+    # `depth` batches in flight (parallel/stream.py). Timing here is honest
+    # by construction: every yielded batch is an actual host transfer.
+    stream_fps = None
+    if os.environ.get("BENCH_STREAM") == "1":
+        try:
+            import shutil
+            import tempfile
+
+            from sift_features_tpu.io.native_output import write_jpeg
+            from sift_features_tpu.parallel.stream import stream_extract_paths
+
+            d = tempfile.mkdtemp(prefix="bench_stream_")
+            try:
+                paths = []
+                for i in range(b * iters):
+                    p = os.path.join(d, f"f{i:03d}.jpg")
+                    write_jpeg(p, frames[i % b])
+                    paths.append(p)
+                hw = frames.shape[1:]
+                # warmup (compile) on one batch
+                for _ in stream_extract_paths(paths[:b], b, hw, cfg,
+                                              features_limit=budget or None):
+                    pass
+                t0 = time.perf_counter()
+                got = 0
+                for batch_out in stream_extract_paths(
+                        paths, b, hw, cfg, features_limit=budget or None):
+                    got += len(batch_out)
+                stream_fps = round(got / (time.perf_counter() - t0), 2)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        except Exception as e:  # report, never kill the bench record
+            stream_fps = f"error: {repr(e)[:160]}"
+
     # reference point: OpenCV SIFT on this host's CPU, same frame (the
     # reference crate benches head-to-head against cv2.SIFT, benches/sift.rs)
     cv2_fps = None
@@ -219,6 +255,8 @@ def main():
     }
     if fps_budget is not None:
         rec[f"budget_{budget}_fps"] = fps_budget
+    if stream_fps is not None:
+        rec["stream_e2e_fps"] = stream_fps
     if parity is not None:
         rec["pallas_xla_parity"] = parity
     if hbm_gbps is not None:

@@ -27,16 +27,26 @@ def to_cv_kps(kps: np.ndarray):
 
 
 def draw(img1, kps1, img2, kps2, matches, path):
-    import cv2
+    """Render with the native output tier (no OpenCV in our output path,
+    native/sift_output.cpp); fall back to cv2.drawMatches if the native
+    toolchain is unavailable."""
+    try:
+        from sift_features_tpu.io.native_output import (render_matches,
+                                                        write_jpeg)
 
-    dmatches = [cv2.DMatch(int(q), int(t), float(d))
-                for q, t, d in zip(matches.query_idx, matches.train_idx,
-                                   matches.distance)]
-    out = cv2.drawMatches(img1, to_cv_kps(kps1), img2, to_cv_kps(kps2),
-                          dmatches, None,
-                          flags=cv2.DrawMatchesFlags_NOT_DRAW_SINGLE_POINTS)
-    cv2.imwrite(path, out)
-    print(f"wrote {path} ({len(dmatches)} matches)")
+        pairs = np.stack([matches.query_idx, matches.train_idx], axis=1)
+        write_jpeg(path, render_matches(img1, kps1, img2, kps2, pairs))
+    except Exception:
+        import cv2
+
+        dmatches = [cv2.DMatch(int(q), int(t), float(d))
+                    for q, t, d in zip(matches.query_idx, matches.train_idx,
+                                       matches.distance)]
+        out = cv2.drawMatches(img1, to_cv_kps(kps1), img2, to_cv_kps(kps2),
+                              dmatches, None,
+                              flags=cv2.DrawMatchesFlags_NOT_DRAW_SINGLE_POINTS)
+        cv2.imwrite(path, out)
+    print(f"wrote {path} ({len(matches.query_idx)} matches)")
 
 
 def main():

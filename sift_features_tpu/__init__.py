@@ -45,3 +45,14 @@ def descriptor_index(db=None, mesh=None, axis_name="data"):
     from .service import DescriptorIndex
 
     return DescriptorIndex(db, mesh, axis_name)
+
+
+def stream(paths, batch, hw, features_limit=None, config=DEFAULT_CONFIG,
+           **kw):
+    """Streaming serving loop: JPEG files -> per-frame (kps, desc), with
+    decode / H2D / device compute / readback overlapped; see
+    sift_features_tpu.parallel.stream."""
+    from .parallel.stream import stream_extract_paths
+
+    return stream_extract_paths(paths, batch, hw, config,
+                                features_limit=features_limit, **kw)

@@ -30,5 +30,8 @@ run ablate         python tools/ablate_stages.py
 for m in tile step region walk; do
   run "bench_$m" env BENCH_REFINE_MODE=$m BENCH_SKIP_CV2=1 python bench.py
 done
+run bench_stream   env BENCH_STREAM=1 BENCH_SKIP_CV2=1 python bench.py
+run storage_parity python tools/check_modes.py storage_dtype=bfloat16
+run bench_storage  env BENCH_STORAGE_BF16=1 BENCH_SKIP_CV2=1 BENCH_PARITY=0 python bench.py
 run bench_final    python bench.py
 echo "ALL DONE"

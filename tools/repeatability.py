@@ -9,9 +9,13 @@ For each (base, warped-by-H) pair:
                    geometrically consistent with H
 
 Compares this framework against cv2.SIFT on identical pairs.
-Usage: python tools/repeatability.py [image|all] [eps_px]
+Usage: python tools/repeatability.py [image|all|hpatches] [eps_px]
   'all' runs every small reference image plus a keypoint-budget sweep
   (features_limit curves, ROADMAP item 5).
+  'hpatches' runs the HPatches-style photometric/degradation protocol
+  (Gaussian blur, JPEG quality, gamma/brightness illumination, sensor
+  noise; identity homography) on the small reference images — the
+  viewpoint-free half of the HPatches split, synthesized locally.
 """
 
 import sys
@@ -32,6 +36,29 @@ def homographies(h, w):
         H = np.vstack([m, [0, 0, 1]]).astype(np.float64)
         H[2, 0] = persp
         out.append(H)
+    return out
+
+
+def photometric_sequence(img):
+    """HPatches-style non-viewpoint pairs: (name, transformed image).
+    Geometry is identity, so repeatability/matching use H = I."""
+    import cv2
+
+    rng = np.random.RandomState(7)
+    out = []
+    for sigma in (1.0, 2.0):
+        out.append((f"blur s={sigma}",
+                    cv2.GaussianBlur(img, (0, 0), sigma)))
+    for q in (60, 30):
+        ok, enc = cv2.imencode(".jpg", img,
+                               [cv2.IMWRITE_JPEG_QUALITY, q])
+        assert ok
+        out.append((f"jpeg q={q}", cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)))
+    for gamma, gain in ((0.6, 1.0), (1.6, 1.0), (1.0, 0.6)):
+        f = np.clip(((img / 255.0) ** gamma) * gain * 255.0, 0, 255)
+        out.append((f"illum g={gamma} k={gain}", f.astype(np.uint8)))
+    noisy = img.astype(np.float32) + rng.normal(0, 6, img.shape)
+    out.append(("noise s=6", np.clip(noisy, 0, 255).astype(np.uint8)))
     return out
 
 
@@ -116,6 +143,36 @@ def run_image(path, eps, budgets=()):
     return m
 
 
+def run_hpatches(path, eps):
+    """Photometric / degradation protocol (identity homography)."""
+    import cv2  # noqa: F401
+
+    from sift_features_tpu.io.image import load_gray
+    import sift_features_tpu as sft
+
+    img = load_gray(path, "cv2")
+    H = np.eye(3)
+
+    def our_matcher(d1, d2):
+        m = sft.match_descriptors(d1, d2.astype(np.float32),
+                                  cross_check=True)
+        return m.query_idx, m.train_idx
+
+    kb, db = sft.sift(img)
+    print(f"image {path}: {len(kb)} kps (base)")
+    rows = []
+    for name, timg in photometric_sequence(img):
+        kw, dw = sft.sift(timg)
+        r = repeatability(kb, kw, H, eps)
+        s = matching_score(kb, db, kw, dw, H, eps * 2, our_matcher)
+        rows.append((r, s))
+        print(f"  {name:18s}: kps {len(kw):>5} | repeat {r:.3f} | "
+              f"match-score {s:.3f}")
+    m = np.mean(rows, axis=0)
+    print(f"mean: repeat {m[0]:.3f} | match-score {m[1]:.3f}")
+    return m
+
+
 def main():
     arg = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/images/bird_small.jpg"
     eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
@@ -123,6 +180,9 @@ def main():
         for name in ("bird_small", "tree_small", "elephant"):
             run_image(f"/root/reference/images/{name}.jpg", eps,
                       budgets=(100, 500, 1000))
+    elif arg == "hpatches":
+        for name in ("bird_small", "tree_small"):
+            run_hpatches(f"/root/reference/images/{name}.jpg", eps)
     else:
         run_image(arg, eps)
 
