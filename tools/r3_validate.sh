@@ -34,4 +34,6 @@ run bench_stream   env BENCH_STREAM=1 BENCH_SKIP_CV2=1 python bench.py
 run storage_parity python tools/check_modes.py storage_dtype=bfloat16
 run bench_storage  env BENCH_STORAGE_BF16=1 BENCH_SKIP_CV2=1 BENCH_PARITY=0 python bench.py
 run bench_final    python bench.py
+# 4) quality protocols (only reached if the TPU window lasts)
+run hpatches       python tools/repeatability.py hpatches
 echo "ALL DONE"
