@@ -81,10 +81,11 @@ class SiftConfig:
     # windows + dense per-cell fields for ALL scales + a BK-wide vectorized
     # walk (no per-candidate loop anywhere; escapes fall back to "step").
     # Identical outputs for all modes. Default is the best MEASURED mode on
-    # the dev chip (per-step: 0.90 us/cand vs tile 1.72 — the tile kernel's
-    # per-candidate window DMAs + serial walk dominate it; region/walk are
-    # pending measurement).
-    refine_mode: str = "step"
+    # the dev chip (round-3 sweep, 1080p density / 32k candidates:
+    # walk 0.468 us/cand, region(5 steps) 0.608, region(1) 0.818,
+    # per-step 0.960, tile 1.371 — the shared all-scales window DMAs +
+    # fully vectorized walk win decisively).
+    refine_mode: str = "walk"
     # With refine_mode="region": how many leading Newton steps use the
     # region-grouped kernel before falling back to the per-candidate skip
     # kernel (inactive lanes sort to the end, so sparse later steps compact

@@ -184,10 +184,16 @@ def _kernel(blk_active, blk_nslots, pack_ref, s_ref, y_ref, x_ref,
         out = jnp.zeros((BK, 16), F32)
         for fi in range(N_FIELDS):
             Ff = bank[fi * FIELD_SLAB:(fi + 1) * FIELD_SLAB, :]
+            # precision=HIGHEST: default-precision f32 dots run one
+            # bf16x bf16 MXU pass on hardware, rounding extracted field
+            # values to 8 mantissa bits (measured ~1e-3 drift vs the XLA
+            # reference). One-hot operands make the multi-pass split exact.
             D = jax.lax.dot_general(Rt, Ff, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=F32)   # (BK, LANES)
+                                    preferred_element_type=F32,
+                                    precision=jax.lax.Precision.HIGHEST)
             E = jax.lax.dot_general(D, C, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=F32)   # (BK, BK)
+                                    preferred_element_type=F32,
+                                    precision=jax.lax.Precision.HIGHEST)
             colf = jnp.sum(jnp.where(diag, E, F32(0.0)), axis=1,
                            keepdims=True)
             out = out + jnp.where(olane == fi, colf, F32(0.0))

@@ -195,8 +195,17 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
             bank_rows = bank_ref[:, :]
             R = (jax.lax.broadcasted_iota(I32, (BK, bank_rows.shape[0]), 1)
                  == sel_row.astype(I32)).astype(F32)
+            # precision=HIGHEST is REQUIRED for exactness: Mosaic lowers
+            # default-precision f32 dots to one bf16x bf16 MXU pass, which
+            # rounds the bank values to 8 mantissa bits — fatal for the
+            # packed walk field (integers up to ~2^14). With a one-hot left
+            # operand the multi-pass split reproduces every f32 bank value
+            # exactly (1.0 splits as hi=1, lo=0; value splits recombine
+            # exactly in the f32 accumulator). Interpret mode is exact f32
+            # either way, which is why only hardware exposed this.
             E = jax.lax.dot_general(R, bank_rows, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=F32)   # (BK, LW)
+                                    preferred_element_type=F32,
+                                    precision=jax.lax.Precision.HIGHEST)
             C = (i_lane == x_col.astype(I32)).astype(F32)
             return jnp.sum(E * C, axis=1, keepdims=True)
 

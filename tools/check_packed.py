@@ -51,8 +51,15 @@ def main():
     ang = (rng.rand(K) * 360).astype(np.float32)
 
     def timed(name, fn, *args):
-        f = jax.jit(lambda *a: jnp.sum(fn(*a)))
-        float(f(*args))
+        # leading args are device arrays; the tail (counts/config/flags) is
+        # static and must be closed over, not traced
+        na = 0
+        while na < len(args) and isinstance(args[na], jnp.ndarray):
+            na += 1
+        arrs, tail = args[:na], args[na:]
+        f = jax.jit(lambda *a: jnp.sum(fn(*a, *tail)))
+        float(f(*arrs))
+        args = arrs
         t0 = time.time()
         r = None
         for _ in range(iters):
