@@ -90,8 +90,10 @@ class SiftConfig:
     # region-grouped kernel before falling back to the per-candidate skip
     # kernel (inactive lanes sort to the end, so sparse later steps compact
     # into few blocks; measured active fractions 100/28/8.5/2.6/1.3% over
-    # steps 1-5 at bench density). 1..max_interpolation_steps.
-    region_steps: int = 1
+    # steps 1-5 at bench density). 1..max_interpolation_steps. Default = 5,
+    # the best measured sub-setting of region mode (round-3 sweep: region(5)
+    # 0.608 us/cand vs region(1) 0.818).
+    region_steps: int = 5
     # Orientation/descriptor window kernel strategy on TPU: "packed" = lane-
     # packed kernels (p = 128//window windows per vector register — buckets
     # too wide to pack fall back per-kernel), "perkey" = one window per

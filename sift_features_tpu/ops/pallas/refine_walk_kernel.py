@@ -318,7 +318,7 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     kernel, preserving exact reference semantics (lib.rs:508-603)."""
     from ..extrema import refine_tpu
 
-    from .region_group import group_by_region, merge_escaped
+    from .region_group import group_by_region, merge_escaped_compact
 
     assert dog_flat.dtype == jnp.float32, "walk refinement requires f32 DoG"
     n_dog = cfg.scales_per_octave + 2
@@ -361,6 +361,23 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     out_slots = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     rows = out_slots[jnp.clip(g.slot_k, 0, g.T_cap - 1)]
-    return merge_escaped(rows, valid, lambda esc: refine_tpu(
-        dog_flat, s0, y0, x0, esc, pad, h, w, cfg,
-        plane_off=plane_off, interpret=interpret))
+
+    # escaped candidates (~1.4%) re-refine on a COMPACTED buffer — the
+    # full-width per-step fallback costs ~36 ms/batch of pure grid-step
+    # overhead at bench density even with zero escapes (round-4 breakdown)
+    K = s0.shape[0]
+    e_cap = min(K, max(512, -(-(K // 16) // 128) * 128))
+    if plane_off is None:
+        args = (s0, y0, x0)
+
+        def run_fb(a, act):
+            return refine_tpu(dog_flat, a[0], a[1], a[2], act, pad, h, w,
+                              cfg, plane_off=None, interpret=interpret)
+    else:
+        args = (s0, y0, x0, plane_off)
+
+        def run_fb(a, act):
+            return refine_tpu(dog_flat, a[0], a[1], a[2], act, pad, h, w,
+                              cfg, plane_off=a[3], interpret=interpret)
+
+    return merge_escaped_compact(rows, valid, run_fb, args, e_cap)

@@ -8,13 +8,13 @@ bench frame (clustered density, ~72% padding lanes):
 
   group   group_by_region alone (argsorts + slot layout)
   walk    full refine_walk_tpu (group + kernel + fallback + merge)
-  nofb    refine_walk_tpu with the per-step fallback replaced by zeros
   step    refine_tpu per-step loop (the "step" mode baseline)
+  fb0     per-step loop on an all-False active mask — the fixed cost the
+          walk path pays for its fallback even when nothing escapes
 
 Run alone on the chip: python tools/refine_breakdown.py [octave]
 """
 
-import functools
 import sys
 import time
 
@@ -129,10 +129,16 @@ def main():
     print(f"layout: T_cap={g.T_cap} nb={n_blocks} active_blocks={n_active} "
           f"window_loads~={n_loads}", flush=True)
 
-    timed("group", jax.jit(functools.partial(
-        group_by_region, pad=P, Hp=hp, Wp=wp, n_dog=n_dog, n_frames=B,
-        reg_r=REG_R, reg_c=REG_C, win_r=WIN_R, win_c=WIN_C,
-        margin_r=8, margin_c=128, bk=BK)), sf, yf, xf, vf, poff)
+    # explicit wrapper (not functools.partial): poff must bind to plane_off,
+    # and jit needs jnp-leaf outputs (RegionLayout is not a pytree)
+    @jax.jit
+    def group_fields(s, y, x, v, po):
+        gg = group_by_region(s, y, x, v, P, hp, wp, n_dog, B, po,
+                             REG_R, REG_C, WIN_R, WIN_C, 8, 128, BK)
+        return (gg.s_slot, gg.y_slot, gg.x_slot, gg.a_slot, gg.seg_b,
+                gg.r0_b, gg.c0_b, gg.pb_b, gg.active_b, gg.slot_k)
+
+    timed("group", group_fields, sf, yf, xf, vf, poff)
 
     walk = jax.jit(lambda d, s, y, x, v: refine_walk_tpu(
         d, s, y, x, v, P, h, w, cfg, plane_off=poff))
