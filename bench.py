@@ -115,6 +115,29 @@ def main():
     fps = b * iters / dt
     n_kp = int(np.asarray(out[2]).sum()) // b
 
+    # capacity-overflow audit: the fixed-shape pipeline truncates when a
+    # stage's true count exceeds its static capacity (round-3 silently
+    # clipped 27% of octave-0 survivors at this density); surface any
+    # octave where that happens so the kps_per_frame figure is honest
+    overflow = None
+    try:
+        from sift_features_tpu.models.extractor import _octave_capacities
+
+        res0 = extract_batch(imgs, cfg)
+        hh, ww = frames.shape[1] * 2, frames.shape[2] * 2
+        ovf = []
+        for o in range(np.asarray(res0["n_candidates"]).shape[1]):
+            caps = dict(zip(("n_candidates", "n_survivors", "n_emitted"),
+                            _octave_capacities(hh, ww, cfg)))
+            for name, cap in caps.items():
+                v = int(np.asarray(res0[name][:, o]).max())
+                if v > cap:
+                    ovf.append(f"oct{o}:{name[2:]} {v}>{cap}")
+            hh, ww = hh // 2, ww // 2
+        overflow = ovf or None
+    except Exception as e:
+        overflow = [f"audit error: {repr(e)[:120]}"]
+
     # budgeted variant (C15, lib.rs:156-161): response top-K BEFORE the
     # descriptor stage — the serving configuration (the repo's budget sweep
     # shows budget <= 2k also improves match quality, BENCH.md)
@@ -253,6 +276,8 @@ def main():
         "kps_per_frame": n_kp,
         "cv2_cpu_fps": cv2_fps,
     }
+    if overflow is not None:
+        rec["capacity_overflow"] = overflow
     if fps_budget is not None:
         rec[f"budget_{budget}_fps"] = fps_budget
     if stream_fps is not None:

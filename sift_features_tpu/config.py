@@ -48,8 +48,10 @@ class SiftConfig:
     # candidate capacity is this value rounded UP to a multiple of 128 (e.g.
     # 100 -> 128 candidates kept before scan-order truncation).
     max_candidates_per_octave: int = 32768
-    # Max emitted keypoints (across orientations) per octave.
-    max_keypoints_per_octave: int = 8192
+    # Max emitted keypoints (across orientations) per octave. 16384 covers
+    # the feature-dense bench frame (measured 10107+ emissions at octave 0
+    # once survivor capacity stopped truncating, tools/stage_counts.py).
+    max_keypoints_per_octave: int = 16384
     # Max total keypoints for the whole image (global output buffer).
     max_keypoints: int = 32768
     # Use hand-written Pallas TPU kernels for the gather-heavy stages

@@ -104,11 +104,18 @@ class BatchLoader:
     file list starts immediately on background threads."""
 
     def __init__(self, paths: list[str], batch: int, hw: tuple[int, int],
-                 luma: str = "jpeg-gray", n_threads: int = 4):
+                 luma: str = "jpeg-gray", n_threads: int = 4,
+                 n_buffers: int = 1):
+        """n_buffers > 1 ROTATES the yielded batch arrays: the array yielded
+        for batch t is not rewritten until batch t + n_buffers, so an async
+        consumer (jax.device_put with <= n_buffers - 2 batches in flight)
+        may hand it off without a snapshot copy (parallel.stream sets
+        n_buffers = depth + 2 and skips its copy)."""
         self._lib = _get_lib()
         self.paths = list(paths)
         self.batch = batch
         self.h, self.w = hw
+        self.n_buffers = max(1, n_buffers)
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
         self._pool = self._lib.sl_pool_create(
@@ -121,8 +128,10 @@ class BatchLoader:
         return -(-len(self.paths) // self.batch)
 
     def __iter__(self):
-        out = np.zeros((self.batch, self.h, self.w), np.uint8)
+        bufs = [np.zeros((self.batch, self.h, self.w), np.uint8)
+                for _ in range(self.n_buffers)]
         for b in range(len(self)):
+            out = bufs[b % self.n_buffers]
             n = self._lib.sl_pool_next(
                 self._pool, b, out.ctypes.data_as(ctypes.c_void_p))
             if n == -2:

@@ -36,16 +36,25 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
     """Static per-octave buffer sizes: raw candidates K, survivors K2,
     emitted keypoints M (multiples of 128 for clean blocking).
 
-    Discrete-extrema density on natural images is ~0.1% of DoG cells; K gives
-    ~5x headroom ((3HW)//192). Overflows are observable via the returned
-    n_candidates / n_emitted counters."""
+    Density model (measured on the feature-dense bench frame,
+    tools/stage_counts.py round 4): discrete extrema are ~0.11% of DoG
+    cells at octave 0 and ~0.10% at octave 1; K allows ~1.8x that
+    ((3HW)//512 = 0.195%). Survivors are ~41% of candidates (K/2 gives
+    1.45x headroom over the measured worst); multi-orientation emissions
+    ~1.24x survivors (3*K2/2 gives ~1.2x). The round-3 sizing used
+    (3HW)//192 with K2=K/4: it oversized octave 1+ candidates ~5x (pure
+    capacity-proportional overhead) while SILENTLY TRUNCATING 27% of
+    octave-0 survivors and 19% of emissions at bench density — the config
+    cap already bound octave 0 to a lower density tolerance than the other
+    octaves got. Overflows remain observable via the n_candidates /
+    n_survivors / n_emitted counters (and bench.py's overflow field)."""
     # cfg.max_candidates_per_octave is honored even below the 512 floor so
     # overflow behavior (scan-order prefix truncation) is testable
     k = min(cfg.max_candidates_per_octave,
-            max(512, (3 * h * w) // 192))
+            max(512, (3 * h * w) // 512))
     k = -(-k // 128) * 128
-    k2 = max(256, k // 4)
-    m = min(cfg.max_keypoints_per_octave, max(256, k2))
+    k2 = max(256, k // 2)
+    m = min(cfg.max_keypoints_per_octave, max(256, (3 * k2) // 2))
     return k, k2, -(-m // 128) * 128
 
 

@@ -307,7 +307,8 @@ def descriptor_hist_pallas(gauss_padded, s, xi, yi, kp_scale, angle, count,
 def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
                              angle, count, h: int, w: int, pad: int,
                              cfg: SiftConfig = DEFAULT_CONFIG,
-                             interpret: bool = False, live=None):
+                             interpret: bool = False, live=None,
+                             chunk: int = 32768):
     """Scale-bucketed descriptor histograms: partitions the (compacted)
     keypoint batch by integer scale index and runs a right-sized kernel per
     bucket (BUCKET_R), then restores the original row order. Exactly equal
@@ -326,13 +327,29 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     if live is None:
         live = jnp.arange(M, dtype=jnp.int32) < count
     out = jnp.zeros((M, cfg.descriptor_size), F32)
+    # scalar-prefetch operands live in SMEM: chunk huge batched keypoint
+    # sets into <=32k-lane kernel calls (chunks are 128-multiples, so block
+    # boundaries — and therefore packing groups — are unchanged: results
+    # stay bit-identical to the unchunked call)
+    CHUNK = chunk
     for si, r_max in bucket_radii(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, M)
         packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
         fn = (descriptor_hist_packed if packed else descriptor_hist_pallas)
-        hb = fn(gauss_padded, s_img[idxb], xi[idxb], yi[idxb], kp_scale[idxb],
-                angle[idxb], countb, h, w, pad, cfg, interpret, r_max)
+
+        def run(sl):
+            cnt = jnp.clip(countb - sl.start, 0, sl.stop - sl.start)
+            return fn(gauss_padded, s_img[idxb[sl]], xi[idxb[sl]],
+                      yi[idxb[sl]], kp_scale[idxb[sl]], angle[idxb[sl]],
+                      cnt, h, w, pad, cfg, interpret, r_max)
+
+        if M <= CHUNK:
+            hb = run(slice(0, M))
+        else:
+            hb = jnp.concatenate(
+                [run(slice(c0, min(c0 + CHUNK, M)))
+                 for c0 in range(0, M, CHUNK)], axis=0)
         # rank of each original lane inside its bucket
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)

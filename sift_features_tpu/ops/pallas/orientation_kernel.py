@@ -264,7 +264,8 @@ def orientation_histograms_pallas(gauss_padded, s, y, x, kp_scale, count,
 def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
                                     kp_scale, count, h: int, w: int, pad: int,
                                     cfg: SiftConfig = DEFAULT_CONFIG,
-                                    interpret: bool = False, live=None):
+                                    interpret: bool = False, live=None,
+                                    chunk: int = 32768):
     """Scale-bucketed orientation histograms: partitions the candidate batch
     by integer scale index and runs a right-sized kernel per bucket
     (BUCKET_R_ORI), restoring original row order. Exactly equal to
@@ -280,6 +281,10 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
         live = jnp.arange(K, dtype=jnp.int32) < count
     n_bins = cfg.n_orientation_bins
     out = jnp.zeros((K, n_bins), F32)
+    # scalar-prefetch operands live in SMEM: chunk huge batched candidate
+    # sets into <=32k-lane kernel calls (chunks are 128-multiples, so block
+    # boundaries and packing groups are unchanged — bit-identical results)
+    CHUNK = chunk
     for si, r_max in bucket_radii_ori(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, K)
@@ -288,8 +293,19 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
         packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
         fn = (orientation_histograms_packed if packed
               else orientation_histograms_pallas)
-        hb = fn(gauss_padded, s_img[idxb], y[idxb], x[idxb], kp_scale[idxb],
-                countb, h, w, pad, cfg, interpret, r_max, False)
+
+        def run(sl):
+            cnt = jnp.clip(countb - sl.start, 0, sl.stop - sl.start)
+            return fn(gauss_padded, s_img[idxb[sl]], y[idxb[sl]],
+                      x[idxb[sl]], kp_scale[idxb[sl]], cnt, h, w, pad, cfg,
+                      interpret, r_max, False)
+
+        if K <= CHUNK:
+            hb = run(slice(0, K))
+        else:
+            hb = jnp.concatenate(
+                [run(slice(c0, min(c0 + CHUNK, K)))
+                 for c0 in range(0, K, CHUNK)], axis=0)
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
     return _smooth(out)

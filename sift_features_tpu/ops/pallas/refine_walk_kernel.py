@@ -19,9 +19,11 @@ This kernel keeps the dense-field idea and vectorizes everything:
      +-7-step walk margin (~490 MB / ~1k loads per 1080p octave — fewer
      bytes AND ~20x fewer DMAs than per-step);
   2. a dense Newton pass over the window (identical f32 op order per cell,
-     _newton_cols) fills a VMEM bank for ALL center scales: a packed
-     walk field (ok | big-step | 4-bit steps, integer-valued f32) plus the
-     five result fields (off_s/off_y/off_x/response/keep);
+     _newton_cols) fills a VMEM bank for ALL center scales: the walk field
+     SPLIT into two <=255-valued banks (ok|big|step_s and step_y|step_x —
+     small integers are bf16-exact, so the per-step one-hot lookups run at
+     DEFAULT MXU precision) plus the five result fields
+     (off_s/off_y/off_x/response/keep, looked up once at HIGHEST);
   3. the <=5-step walk runs BK-wide with pure vector/MXU ops: the field at
      every candidate's current (s, y, x) is fetched with a one-hot
      (BK, SLAB) @ (SLAB, WL) contraction + lane-masked row reduction — both
@@ -72,7 +74,7 @@ def _sanitize(a):
 def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
             blk_par, blk_first, nxt_r0, nxt_c0, nxt_pb, nxt_has,
             s_ref, y_ref, x_ref, act_ref, dog_hbm, out_ref,
-            win, win_a, bank_pk, bank_fin, sem,
+            win, win_a, bank_pk, bank_pk2, bank_fin, sem,
             *, contrast_threshold, edge_threshold, scales_per_octave,
             pad, h, w, border, LR, LW, BK):
     blk = pl.program_id(0)
@@ -154,19 +156,25 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
                     edge_threshold=edge_threshold,
                     scales_per_octave=scales_per_octave)
                 # 4-bit step packing [-8, 7]; any |step| > 7 sets the escape
-                # bit, so the clipped value is never applied to a walk
+                # bit, so the clipped value is never applied to a walk.
+                # SPLIT into two <=255-valued banks: integer values <= 255
+                # are exact in bf16, so the walk's 5x-per-candidate one-hot
+                # field lookups can run at DEFAULT MXU precision (one
+                # bf16 x bf16 pass) instead of the ~3x-cost HIGHEST
+                # decomposition the single <2^15 packing required.
                 sts = jnp.clip(f["step_s"], -8.0, 7.0)
                 sty = jnp.clip(f["step_y"], -8.0, 7.0)
                 stx = jnp.clip(f["step_x"], -8.0, 7.0)
                 bigstep = ((jnp.abs(f["step_s"]) > MAX_STEP)
                            | (jnp.abs(f["step_y"]) > MAX_STEP)
                            | (jnp.abs(f["step_x"]) > MAX_STEP))
-                pk = (f["ok"].astype(F32)
-                      + bigstep.astype(F32) * F32(2.0)
-                      + (sts + F32(8.0)) * F32(4.0)
-                      + (sty + F32(8.0)) * F32(64.0)
-                      + (stx + F32(8.0)) * F32(1024.0))
-                bank_pk[(p - 1) * LR:(p - 1) * LR + LR, :] = _sanitize(pk)
+                pk_lo = (f["ok"].astype(F32)
+                         + bigstep.astype(F32) * F32(2.0)
+                         + (sts + F32(8.0)) * F32(4.0))         # <= 63
+                pk_hi = ((sty + F32(8.0))
+                         + (stx + F32(8.0)) * F32(16.0))        # <= 255
+                bank_pk[(p - 1) * LR:(p - 1) * LR + LR, :] = _sanitize(pk_lo)
+                bank_pk2[(p - 1) * LR:(p - 1) * LR + LR, :] = _sanitize(pk_hi)
                 fin = [f["off_s"], f["off_y"], f["off_x"], f["response"],
                        f["keep"].astype(F32)]
                 for fi, arr in enumerate(fin):
@@ -190,22 +198,23 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
 
         i_lane = jax.lax.broadcasted_iota(I32, (BK, LW), 1)
 
-        def field_at(bank_ref, sel_row, x_col):
-            """bank_ref (R, LW) VMEM ref; sel_row/x_col (BK, 1) -> (BK, 1)."""
+        def field_at(bank_ref, sel_row, x_col, prec=jax.lax.Precision.HIGHEST):
+            """bank_ref (R, LW) VMEM ref; sel_row/x_col (BK, 1) -> (BK, 1).
+
+            Precision rules (hardware-exposed; interpret mode is exact f32
+            either way): Mosaic lowers a DEFAULT-precision f32 dot to one
+            bf16 x bf16 MXU pass, rounding bank values to 8 mantissa bits.
+            That is exact for the split walk banks (integer values <= 255,
+            one-hot rows select a single value) but fatal for the result
+            bank (arbitrary f32), which must keep HIGHEST: its multi-pass
+            split reproduces every f32 value exactly (1.0 splits as hi=1,
+            lo=0; value splits recombine exactly in the f32 accumulator)."""
             bank_rows = bank_ref[:, :]
             R = (jax.lax.broadcasted_iota(I32, (BK, bank_rows.shape[0]), 1)
                  == sel_row.astype(I32)).astype(F32)
-            # precision=HIGHEST is REQUIRED for exactness: Mosaic lowers
-            # default-precision f32 dots to one bf16x bf16 MXU pass, which
-            # rounds the bank values to 8 mantissa bits — fatal for the
-            # packed walk field (integers up to ~2^14). With a one-hot left
-            # operand the multi-pass split reproduces every f32 bank value
-            # exactly (1.0 splits as hi=1, lo=0; value splits recombine
-            # exactly in the f32 accumulator). Interpret mode is exact f32
-            # either way, which is why only hardware exposed this.
             E = jax.lax.dot_general(R, bank_rows, (((1,), (0,)), ((), ())),
                                     preferred_element_type=F32,
-                                    precision=jax.lax.Precision.HIGHEST)
+                                    precision=prec)
             C = (i_lane == x_col.astype(I32)).astype(F32)
             return jnp.sum(E * C, axis=1, keepdims=True)
 
@@ -217,17 +226,18 @@ def _kernel(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
             sc = jnp.clip(s_c, 1.0, float(nc))
             yr = jnp.clip(y_c - jnp.asarray(r0i, F32), 1.0, float(LR - 2))
             xr = jnp.clip(x_c - jnp.asarray(c0i, F32), 1.0, float(LW - 2))
-            v = field_at(bank_pk, (sc - one) * F32(LR) + yr, xr)
-            # decode packed walk value (integer-valued f32, exact < 2^15)
-            q4 = jnp.floor(v / F32(4.0))
-            ok = v - q4 * F32(4.0)
+            row = (sc - one) * F32(LR) + yr
+            vlo = field_at(bank_pk, row, xr, jax.lax.Precision.DEFAULT)
+            vhi = field_at(bank_pk2, row, xr, jax.lax.Precision.DEFAULT)
+            # decode the split walk values (integers <= 255, bf16-exact)
+            q4 = jnp.floor(vlo / F32(4.0))
+            ok = vlo - q4 * F32(4.0)
             big = jnp.floor(ok / F32(2.0))
             ok = ok - big * F32(2.0)
-            q64 = jnp.floor(q4 / F32(16.0))
-            sts = q4 - q64 * F32(16.0) - F32(8.0)
-            q1024 = jnp.floor(q64 / F32(16.0))
-            sty = q64 - q1024 * F32(16.0) - F32(8.0)
-            stx = q1024 - F32(8.0)
+            sts = q4 - F32(8.0)
+            q16 = jnp.floor(vhi / F32(16.0))
+            sty = vhi - q16 * F32(16.0) - F32(8.0)
+            stx = q16 - F32(8.0)
 
             alive = (one - conv) * (one - dead) * (one - esc)
             conv = conv + alive * ok
@@ -293,6 +303,7 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
             pltpu.VMEM((2 * n_dog * LR, LW), jnp.float32),
             pltpu.VMEM((n_dog * LR, LW), jnp.float32),
             pltpu.VMEM((cfg.scales_per_octave * LR, LW), jnp.float32),
+            pltpu.VMEM((cfg.scales_per_octave * LR, LW), jnp.float32),
             pltpu.VMEM((N_FIN * cfg.scales_per_octave * LR, LW),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_dog)),
@@ -310,12 +321,17 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
 
 def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
                     h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
-                    plane_off=None, interpret: bool = False):
+                    plane_off=None, interpret: bool = False,
+                    chunk: int = 32768):
     """Region-walk refinement driver: same contract as ops.extrema.refine_tpu
     (positions in PADDED coords, returns ok/s/y/x/offs/response/keep), the
     whole <=5-step loop in one launch. Escaped candidates (walk left the
     window margin or |step| > 7 — rare) are re-refined by the per-step
-    kernel, preserving exact reference semantics (lib.rs:508-603)."""
+    kernel, preserving exact reference semantics (lib.rs:508-603).
+
+    chunk: slot-axis kernel-call width (SMEM budget for the scalar-prefetch
+    operands); a BK-multiple. Overridable so tests can exercise the
+    chunk-boundary prefetch schedule without 32k+ candidates."""
     from ..extrema import refine_tpu
 
     from .region_group import group_by_region, merge_escaped_compact
@@ -330,7 +346,7 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     g = group_by_region(s0, y0, x0, valid, pad, Hp, Wp, n_dog, n_frames,
                         plane_off, REG_R, REG_C, WIN_R, WIN_C, 8, 128, BK)
 
-    CHUNK = 32768
+    CHUNK = -(-chunk // BK) * BK
     outs = []
     for t0 in range(0, g.T_cap, CHUNK):
         t1 = min(t0 + CHUNK, g.T_cap)

@@ -56,7 +56,7 @@ def _fetch(res, n_frames: int, compact: bool):
 
 def stream_extract(batches, config: SiftConfig = DEFAULT_CONFIG,
                    features_limit: int | None = None, depth: int = 2,
-                   compact: bool = True):
+                   compact: bool = True, producer_rotates: bool = False):
     """Iterate host (b, H, W) u8 batches through the device with `depth`
     batches in flight; yields per-batch host results (see _fetch).
 
@@ -64,6 +64,14 @@ def stream_extract(batches, config: SiftConfig = DEFAULT_CONFIG,
     so one compiled program serves the whole stream (a ragged tail batch
     otherwise recompiles the full pipeline); padded frames are dropped from
     the yielded results.
+
+    producer_rotates=True declares that the producer yields ROTATING batch
+    buffers (each array untouched for >= depth + 1 further batches, e.g.
+    io.native_loader.BatchLoader with n_buffers >= depth + 2): the per-batch
+    snapshot copy before the async device_put is then skipped. Safety: at
+    loop iteration t this generator has already BLOCKED on batch
+    t - depth - 1's device results, so that batch's H2D transfer is
+    complete before its buffer's rotation slot comes up again.
     """
     import jax
 
@@ -84,9 +92,9 @@ def stream_extract(batches, config: SiftConfig = DEFAULT_CONFIG,
             raise ValueError(
                 f"batch grew from {batch_size} to {n}; streams must start "
                 "with the largest batch (pad upstream)")
-        else:
-            # producers (the native BatchLoader) may reuse the batch buffer
-            # as soon as we return; device_put's copy is async, so snapshot
+        elif not producer_rotates:
+            # non-rotating producers may reuse the batch buffer as soon as
+            # we return; device_put's copy is async, so snapshot
             frames = frames.copy()
         dev = jax.device_put(frames)  # async H2D, overlaps device compute
         res = extract_batch(dev, config, features_limit)
@@ -110,9 +118,10 @@ def stream_extract_paths(paths, batch: int, hw: tuple[int, int],
     by the loader."""
     from ..io.native_loader import BatchLoader
 
-    loader = BatchLoader(paths, batch, hw, luma, n_threads)
+    loader = BatchLoader(paths, batch, hw, luma, n_threads,
+                         n_buffers=depth + 2)
     try:
         yield from stream_extract(iter(loader), config, features_limit,
-                                  depth, compact)
+                                  depth, compact, producer_rotates=True)
     finally:
         loader.close()

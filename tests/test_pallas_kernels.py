@@ -60,6 +60,7 @@ def test_orientation_kernel_matches_jnp(ori_case):
     assert (np.asarray(hist_p)[count:] == 0).all()
 
 
+@pytest.mark.smoke
 def test_refine_kernel_matches_jnp():
     from sift_features_tpu.ops import extrema as ext_ops
     from sift_features_tpu.ops.pallas.refine_kernel import refine_step_pallas
@@ -251,6 +252,7 @@ def test_descriptor_bucketed_matches_jnp():
     assert (d > 0).mean() < 0.02, (d > 0).mean()
 
 
+@pytest.mark.smoke
 def test_extrema_kernel_matches_reduce_window():
     from sift_features_tpu.ops import extrema as ext_ops
     from sift_features_tpu.ops.pallas.extrema_kernel import extrema_words
@@ -330,7 +332,7 @@ def test_bf16_storage_kernels():
     assert diff.mean() < 1.0, diff.mean()
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
 def test_refine_tile_kernel_matches_xla():
     """Tile-grouped whole-loop refinement (interpret) vs the XLA 5-step
     reference loop (ops.extrema.refine): identical convergence, final cells,
@@ -390,7 +392,7 @@ def test_refine_tile_kernel_matches_xla():
     assert conv.sum() > 20, "test needs a meaningful converged population"
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
 def test_refine_tile_escape_fallback():
     """Candidates with near-singular Hessians take |step| > 7 (unpackable in
     the tile kernel's 4-bit step field) and must ESCAPE to the per-step
@@ -434,7 +436,7 @@ def test_refine_tile_escape_fallback():
                                    rtol=1e-6, atol=1e-7, err_msg=key)
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
 def test_refine_region_step_matches_perstep():
     """Region-grouped step-1 kernel (interpret) vs the per-candidate step
     kernel: ok/steps/keep byte-exact everywhere; offsets/response byte-exact
@@ -474,7 +476,7 @@ def test_refine_region_step_matches_perstep():
     assert (eq[:, 4:8] | ~np.isfinite(ref[:, 4:8])).all()    # offs/response
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
 def test_refine_walk_matches_perstep_loop():
     """Region-walk whole-loop kernel (interpret) vs the per-step kernel loop:
     byte-exact outputs on every converged field. Exercises multi-frame
