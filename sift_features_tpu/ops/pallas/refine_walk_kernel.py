@@ -322,7 +322,7 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
 def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
                     h: int, w: int, cfg: SiftConfig = DEFAULT_CONFIG,
                     plane_off=None, interpret: bool = False,
-                    chunk: int = 32768):
+                    chunk: int = 32768, escape_cap: int | None = None):
     """Region-walk refinement driver: same contract as ops.extrema.refine_tpu
     (positions in PADDED coords, returns ok/s/y/x/offs/response/keep), the
     whole <=5-step loop in one launch. Escaped candidates (walk left the
@@ -331,10 +331,14 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
 
     chunk: slot-axis kernel-call width (SMEM budget for the scalar-prefetch
     operands); a BK-multiple. Overridable so tests can exercise the
-    chunk-boundary prefetch schedule without 32k+ candidates."""
+    chunk-boundary prefetch schedule without 32k+ candidates.
+    escape_cap: compacted escape-buffer capacity override (default: the
+    K//16 production formula); tests shrink it to force the exact
+    full-width fallback branch. The result carries n_escaped."""
     from ..extrema import refine_tpu
 
-    from .region_group import group_by_region, merge_escaped_compact
+    from .region_group import (chunk_schedule, group_by_region,
+                               merge_escaped_compact)
 
     assert dog_flat.dtype == jnp.float32, "walk refinement requires f32 DoG"
     n_dog = cfg.scales_per_octave + 2
@@ -350,28 +354,9 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     outs = []
     for t0 in range(0, g.T_cap, CHUNK):
         t1 = min(t0 + CHUNK, g.T_cap)
-        b0, b1 = t0 // BK, t1 // BK
-        nbc = b1 - b0
-        seg_chunk = g.seg_b[b0:b1]
-        load = jnp.concatenate([
-            jnp.ones((1,), I32),
-            (seg_chunk[1:] != seg_chunk[:-1]).astype(I32)])
-        # prefetch schedule: load-ordinal parity picks the window buffer
-        # half; each load block starts the NEXT load block's DMAs
-        ordinal = jnp.cumsum(load) - 1
-        par_c = (ordinal % 2).astype(I32)
-        first_c = ((ordinal == 0) & (load > 0)).astype(I32)
-        idx = jnp.arange(nbc, dtype=I32)
-        idx_if = jnp.where(load > 0, idx, nbc)
-        suf = jnp.flip(jax.lax.cummin(jnp.flip(
-            jnp.concatenate([idx_if[1:], jnp.full((1,), nbc, I32)]))))
-        nxtidx = jnp.clip(suf, 0, nbc - 1)
-        act_c = g.active_b[b0:b1]
-        nxt_has = ((suf < nbc) & (act_c[nxtidx] > 0)).astype(I32)
-        r0c, c0c, pbc = g.r0_b[b0:b1], g.c0_b[b0:b1], g.pb_b[b0:b1]
+        sched = chunk_schedule(g, t0, t1, BK)
         outs.append(_refine_walk_call(
-            act_c, load, r0c, c0c, pbc,
-            par_c, first_c, r0c[nxtidx], c0c[nxtidx], pbc[nxtidx], nxt_has,
+            *sched,
             g.s_slot[t0:t1], g.y_slot[t0:t1], g.x_slot[t0:t1],
             g.a_slot[t0:t1], dog_flat, LR, LW, cfg, pad, (h, w), interpret))
     out_slots = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -382,7 +367,8 @@ def refine_walk_tpu(dog_flat: jnp.ndarray, s0, y0, x0, valid, pad: int,
     # full-width per-step fallback costs ~36 ms/batch of pure grid-step
     # overhead at bench density even with zero escapes (round-4 breakdown)
     K = s0.shape[0]
-    e_cap = min(K, max(512, -(-(K // 16) // 128) * 128))
+    e_cap = (escape_cap if escape_cap is not None
+             else min(K, max(512, -(-(K // 16) // 128) * 128)))
     if plane_off is None:
         args = (s0, y0, x0)
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
@@ -46,6 +47,9 @@ class RegionLayout:
     pb_b: jnp.ndarray      # (nb,) plane base (frame * n_dog) per block
     active_b: jnp.ndarray  # (nb,) real-candidate count per block
     slot_k: jnp.ndarray    # (K,) slot index of each original candidate
+    src: jnp.ndarray       # (T_cap,) candidate index per slot (drivers
+    #                        gather per-candidate f32 params with it;
+    #                        garbage on inactive slots — mask with a_slot)
     T_cap: int
     nb: int
 
@@ -132,7 +136,38 @@ def group_by_region(s0, y0, x0, valid, pad: int, Hp: int, Wp: int,
         pb_b=(frame_b * n_dog).astype(I32),
         active_b=jnp.sum(a_slot.reshape(nb, bk), axis=1, dtype=I32),
         slot_k=offsets[gclip] + (inv_perm - starts[gclip]),
+        src=src,
         T_cap=T_cap, nb=nb)
+
+
+def chunk_schedule(g: RegionLayout, t0: int, t1: int, bk: int):
+    """Double-buffered window-prefetch schedule for slot chunk [t0, t1).
+
+    Returns per-block arrays for the chunk: (active, load, r0, c0, pb, par,
+    first, nxt_r0, nxt_c0, nxt_pb, nxt_has). `load` marks blocks whose
+    region differs from the previous block's (they own the window copy);
+    load-ordinal parity picks the window buffer half; each load block
+    starts the NEXT load block's DMAs (nxt_*). Every chunk restarts the
+    schedule (first load block bootstraps its own copies)."""
+    b0, b1 = t0 // bk, t1 // bk
+    nbc = b1 - b0
+    seg_chunk = g.seg_b[b0:b1]
+    load = jnp.concatenate([
+        jnp.ones((1,), I32),
+        (seg_chunk[1:] != seg_chunk[:-1]).astype(I32)])
+    ordinal = jnp.cumsum(load) - 1
+    par_c = (ordinal % 2).astype(I32)
+    first_c = ((ordinal == 0) & (load > 0)).astype(I32)
+    idx = jnp.arange(nbc, dtype=I32)
+    idx_if = jnp.where(load > 0, idx, nbc)
+    suf = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([idx_if[1:], jnp.full((1,), nbc, I32)]))))
+    nxtidx = jnp.clip(suf, 0, nbc - 1)
+    act_c = g.active_b[b0:b1]
+    nxt_has = ((suf < nbc) & (act_c[nxtidx] > 0)).astype(I32)
+    r0c, c0c, pbc = g.r0_b[b0:b1], g.c0_b[b0:b1], g.pb_b[b0:b1]
+    return (act_c, load, r0c, c0c, pbc, par_c, first_c,
+            r0c[nxtidx], c0c[nxtidx], pbc[nxtidx], nxt_has)
 
 
 def merge_escaped(rows, valid, fallback):
@@ -166,8 +201,6 @@ def merge_escaped_compact(rows, valid, run_fallback, gather_args, e_cap: int):
     run_fallback(args_tuple, act) -> result dict, where args_tuple is
     gather_args gathered at the compacted indices (full-width path passes
     gather_args unchanged with the escape mask)."""
-    import jax
-
     from ...utils.compact import compact_indices
 
     escaped = (rows[:, 9] > 0) & valid
@@ -194,4 +227,6 @@ def merge_escaped_compact(rows, valid, run_fallback, gather_args, e_cap: int):
         return tuple(jnp.where(escaped, fb[k], res[k]) for k in keys)
 
     out = jax.lax.cond(ecount <= e_cap, compact_path, full_path, None)
-    return dict(zip(keys, out))
+    merged = dict(zip(keys, out))
+    merged["n_escaped"] = ecount   # observability + stress-test hook
+    return merged

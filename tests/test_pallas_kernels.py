@@ -521,6 +521,59 @@ def test_refine_walk_matches_perstep_loop():
 
 
 @pytest.mark.mid
+def test_refine_walk_stress_chunks_and_escape_overflow():
+    """Walk driver under combined stress (VERDICT r3 task 6): multi-chunk
+    slot layout (chunk=64 forces cross-chunk prefetch-parity resets),
+    dense escapes (raw-noise DoG drives big-step and margin exits; region-
+    boundary candidate placement maximizes margin escapes), and escape-
+    buffer OVERFLOW (escape_cap below the real escape count forces the
+    exact full-width branch of merge_escaped_compact). Byte-equality vs
+    the per-step loop on every converged field, in both the overflow and
+    the compacted-fallback configurations."""
+    from sift_features_tpu.ops.extrema import refine_tpu
+    from sift_features_tpu.ops.pallas.refine_walk_kernel import (
+        refine_walk_tpu)
+
+    rng = np.random.RandomState(3)
+    S, Hp, Wp = 5, 96, 512
+    NF = 2
+    # raw (unsmoothed) noise: near-singular Hessians => |step| > 7 escapes,
+    # plus multi-cell walks that cross the window margin
+    dog = (rng.randn(NF * S, Hp, Wp) * 0.2).astype(np.float32)
+    cfg = DEFAULT_CONFIG
+    P = 17
+    h, w = Hp - 2 * P, Wp - 2 * P
+    K = 320
+    s = rng.randint(1, 4, K).astype(np.int32)
+    y = rng.randint(P + 1, Hp - P, K).astype(np.int32)
+    x = rng.randint(P + 1, Wp - P, K).astype(np.int32)
+    # half the candidates hug region-row boundaries (y % 32 in {0, 31}) so
+    # small steps exit the +-7 window margin
+    y[::2] = (y[::2] // 32) * 32 + np.where(np.arange((K + 1) // 2) % 2, 31, 0)
+    y = np.clip(y, P + 1, Hp - P - 1).astype(np.int32)
+    plane_off = (rng.randint(0, NF, K) * S).astype(np.int32)
+    valid = np.arange(K) < 300
+
+    args = (jnp.asarray(dog), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
+            jnp.asarray(valid), P, h, w, cfg)
+    ref = refine_tpu(*args, plane_off=jnp.asarray(plane_off), interpret=True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    assert ref["ok"][valid].sum() > 0
+
+    for e_cap in (8, None):   # 8 = forced overflow -> full-width branch
+        out = refine_walk_tpu(*args, plane_off=jnp.asarray(plane_off),
+                              interpret=True, chunk=64, escape_cap=e_cap)
+        n_esc = int(np.asarray(out.pop("n_escaped")))
+        if e_cap == 8:
+            assert n_esc > 8, "stress case no longer overflows the buffer"
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for kf in ref:
+            m = (valid & ref["ok"] if kf not in ("ok",) else valid)
+            np.testing.assert_array_equal(out[kf][m], ref[kf][m],
+                                          err_msg=f"{kf} (e_cap={e_cap})")
+
+
+@pytest.mark.mid
 def test_packed_orientation_matches_perkey():
     """Lane-packed orientation kernel vs the per-keypoint kernel (interpret).
     Interpret-mode reductions may differ in tree order (ULP); on-TPU byte
