@@ -68,6 +68,11 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    if os.environ.get("BENCH_STORAGE"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg,
+                                  storage_dtype=os.environ["BENCH_STORAGE"])
     if os.environ.get("BENCH_REFINE_MODE"):
         import dataclasses
 

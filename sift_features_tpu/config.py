@@ -72,6 +72,12 @@ class SiftConfig:
     # refinement's central-difference Hessians (measured round 2: large
     # keypoint losses); deltas are tabled in BENCH.md. Tile-grouped
     # refinement requires f32, so this mode takes the per-step refine path.
+    # "split" (round 4, VERDICT task 4) stores only the GAUSSIAN stack bf16
+    # (blur-chain re-reads + orientation/descriptor windows) and keeps the
+    # DoG f32 from the unrounded f32 tap sums — what refinement READS is
+    # never quantized (Hessians come from DoG only), so the detection-side
+    # perturbation is limited to the bf16 rounding of the chain inputs;
+    # walk/tile refinement stays available. Deltas in BENCH.md.
     storage_dtype: str = "float32"
     # Newton-refinement kernel strategy on TPU: "tile" = tile-grouped kernel
     # (all 5 steps from VMEM-resident DoG windows, one launch; escapes fall

@@ -293,20 +293,52 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     gauss_flat = win_src.reshape(B * win_planes, hp, wp)
     poff_k2 = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, K2)
     live2 = svalid.reshape(-1)
-    hist = orientation_histograms_bucketed(
+    hist, angles_p, n_pk = orientation_histograms_bucketed(
         gauss_flat, (s - 1).reshape(-1) + poff_k2, s.reshape(-1),
         y.reshape(-1), x.reshape(-1), kp_scale.reshape(-1),
-        jnp.sum(n_surv), h, w, P, cfg, interpret, live=live2)
-    angles, emit = ori_ops.orientation_peaks(hist, cfg)              # (B*K2, nb)
-    angles = angles.reshape(B, K2 * nb_)
-    emit = (emit.reshape(B, K2, nb_) & svalid[:, :, None]).reshape(B, K2 * nb_)
+        jnp.sum(n_surv), h, w, P, cfg, interpret, live=live2,
+        with_peaks=True)
 
-    # per-frame (survivor, bin) emission compaction -> keypoint batch
-    eidx, evalid, n_emit = jax.vmap(
-        lambda m: compact_indices(m, M))(emit)                       # (B, M)
-    ci = eidx // nb_
-    kp_angle = jnp.where(evalid,
-                         jnp.take_along_axis(angles, eidx, axis=1), F32(0.0))
+    def emit_slow(_):
+        # XLA peaks over the full (B*K2, 36) histograms — the reference
+        # semantics with no per-survivor slot cap (lib.rs:394-431)
+        angles, emit = ori_ops.orientation_peaks(hist, cfg)         # (B*K2,nb)
+        angles = angles.reshape(B, K2 * nb_)
+        emit = (emit.reshape(B, K2, nb_)
+                & svalid[:, :, None]).reshape(B, K2 * nb_)
+        eidx, evalid, n_emit = jax.vmap(
+            lambda m: compact_indices(m, M))(emit)                   # (B, M)
+        ci = eidx // nb_
+        kp_angle = jnp.where(
+            evalid, jnp.take_along_axis(angles, eidx, axis=1), F32(0.0))
+        return ci, kp_angle, evalid, n_emit
+
+    if angles_p is None:
+        ci, kp_angle, evalid, n_emit = emit_slow(None)
+    else:
+        # fast path: the packed orientation kernel already extracted each
+        # survivor's peak angles (ascending-bin order == reference emission
+        # order) — compaction runs over (K2, PK) slots instead of (K2, 36)
+        # bins and every (B*K2, 36) XLA pass disappears. The (never yet
+        # observed) >PK-peaks case falls back to the exact XLA path.
+        PK = angles_p.shape[1]
+
+        def emit_fast(_):
+            a2 = angles_p.reshape(B, K2 * PK)
+            npk2 = jnp.minimum(n_pk, PK).reshape(B, K2)
+            emit2 = ((jnp.arange(PK, dtype=jnp.int32)[None, None, :]
+                      < npk2[:, :, None])
+                     & svalid[:, :, None]).reshape(B, K2 * PK)
+            eidx2, evalid, n_emit = jax.vmap(
+                lambda m: compact_indices(m, M))(emit2)              # (B, M)
+            ci = eidx2 // PK
+            kp_angle = jnp.where(
+                evalid, jnp.take_along_axis(a2, eidx2, axis=1), F32(0.0))
+            return ci, kp_angle, evalid, n_emit
+
+        overflow = jnp.any((n_pk > PK) & live2)
+        ci, kp_angle, evalid, n_emit = jax.lax.cond(
+            overflow, emit_slow, emit_fast, None)
 
     def gc(a):
         return jnp.take_along_axis(a, ci, axis=1)
@@ -420,7 +452,8 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
             g, d, g16 = build_octave_padded_batched(
                 base, cfg, interpret,
                 gather16=(cfg.gather_dtype == "bfloat16"
-                          and cfg.storage_dtype != "bfloat16"))
+                          and cfg.storage_dtype == "float32"),
+                split=cfg.storage_dtype == "split")
             out.append(_detect_octave_batched(g, d, o, cfg, (h, w), stages,
                                               gauss_win=g16,
                                               describe=budget is None,

@@ -321,7 +321,7 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     live: optional (M,) bool validity mask replacing the default
     lane < count prefix (used when several frames' prefix-valid buffers are
     concatenated)."""
-    from .descriptor_packed import descriptor_hist_packed, pack_p
+    from .descriptor_packed import descriptor_hist_packed
 
     M = s_img.shape[0]
     if live is None:
@@ -335,7 +335,11 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
     for si, r_max in bucket_radii(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, M)
-        packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
+        # wide (256-lane, p=2) packing covers wn <= 129: with the default
+        # config EVERY bucket packs (s=3/wn=79 previously fell back to the
+        # per-keypoint kernel and dominated the stage, round-4 breakdown)
+        packed = (cfg.window_kernel == "packed"
+                  and 2 * r_max + 3 <= LANES_DMA - 127)
         fn = (descriptor_hist_packed if packed else descriptor_hist_pallas)
 
         def run(sl):

@@ -41,7 +41,11 @@ F32 = jnp.float32
 I32 = jnp.int32
 LANES = 128
 LANES_DMA = 256
-BK = 128                    # keypoints per grid block (output lane width)
+# Keypoints per grid block (output lane width): wide on hardware to cut
+# grid-step overhead (see orientation_packed.py), round-3 width under
+# interpret for test compile tractability.
+BK = 512
+BK_INTERPRET = 128
 
 
 def pack_p(r_max: int) -> int:
@@ -49,10 +53,28 @@ def pack_p(r_max: int) -> int:
     return LANES // (2 * r_max + 3)
 
 
+def pack_layout(r_max: int):
+    """(p, lanes_p, stride) for this bucket radius: p windows per lanes_p
+    packed lanes. Buckets whose window fits twice in 128 lanes pack within
+    one register row (lanes_p = 128); wider windows (wn <= 129, e.g. the
+    default config's s=3 descriptor bucket, wn = 79) pack p = 2 across a
+    256-lane double register at stride 128 — the elementwise math runs at
+    2x register width serving 2 keypoints, and the 128 bin reductions
+    amortize over both (round 4; previously s=3 fell back to the
+    per-keypoint kernel and dominated the descriptor stage)."""
+    wn = 2 * r_max + 3
+    p = LANES // wn
+    if p >= 2:
+        return p, LANES, LANES // p
+    assert wn <= LANES_DMA - 127, (
+        f"window {wn} cannot shift-align inside a {LANES_DMA}-lane DMA")
+    return 2, 2 * LANES, LANES
+
+
 def _kernel(count_ref, s_ref, y_ref, x_ref,
             scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
             n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max, p, stride,
-            BK, kpad, al=8):
+            BK, kpad, al=8, lanes_p=LANES):
     blk = pl.program_id(0)
     base = blk * BK
     wn = 2 * r_max + 3
@@ -64,8 +86,11 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
     def cand(g, j):
         return jnp.minimum(base + g * p + j, kpad - 1)
 
-    # static per-lane layout vectors (iota-built: no captured constants)
-    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+    # static per-lane layout vectors (iota-built: no captured constants);
+    # lane indexes the 128-lane WINDOW registers, lane_bk the BK-lane
+    # param/output rows (distinct once BK > 128)
+    lane = jax.lax.broadcasted_iota(I32, (1, lanes_p), 1)
+    lane_bk = jax.lax.broadcasted_iota(I32, (1, BK), 1)
     grp_l = lane // stride
     m_l = lane - grp_l * stride
     colvalid_l = ((grp_l < p) & (m_l >= 1) & (m_l <= wn - 2))
@@ -134,14 +159,14 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
     n_act = jnp.clip(-(-(count - base) // p), 0, n_groups)
 
     def compute_group(slot, g, O):
-        packed = jnp.zeros((subl, LANES), F32)
-        radius_v = jnp.zeros((1, LANES), F32)
-        sin_v = jnp.zeros((1, LANES), F32)
-        cos_v = jnp.zeros((1, LANES), F32)
-        ori_v = jnp.zeros((1, LANES), F32)
-        yi_v = jnp.zeros((1, LANES), I32)
-        xi_v = jnp.zeros((1, LANES), I32)
-        live_v = jnp.zeros((1, LANES), jnp.bool_)
+        packed = jnp.zeros((subl, lanes_p), F32)
+        radius_v = jnp.zeros((1, lanes_p), F32)
+        sin_v = jnp.zeros((1, lanes_p), F32)
+        cos_v = jnp.zeros((1, lanes_p), F32)
+        ori_v = jnp.zeros((1, lanes_p), F32)
+        yi_v = jnp.zeros((1, lanes_p), I32)
+        xi_v = jnp.zeros((1, lanes_p), I32)
+        live_v = jnp.zeros((1, lanes_p), jnp.bool_)
         win_all = win_ref[pl.ds(slot * subl, subl), :].astype(F32)
         for j in range(p):
             i = cand(g, j)
@@ -156,10 +181,10 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             wj = pltpu.roll(
                 wj, jax.lax.rem(LANES_DMA - co + j * stride,
                                 jnp.int32(LANES_DMA)), axis=1)
-            packed = packed + jnp.where(gm, wj[:, 0:LANES], F32(0.0))
+            packed = packed + jnp.where(gm, wj[:, 0:lanes_p], F32(0.0))
 
             li = g * p + j
-            sel = (lane == li)
+            sel = (lane_bk == li)
 
             def pick(row):
                 return jnp.sum(jnp.where(sel, row, F32(0.0)),
@@ -174,7 +199,7 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             live_v = live_v | (gm & (base + g * p + j < count))
 
         rows_c = packed[1:1 + n, :]
-        gx = (pltpu.roll(rows_c, LANES - 1, axis=1)
+        gx = (pltpu.roll(rows_c, lanes_p - 1, axis=1)
               - pltpu.roll(rows_c, 1, axis=1))
         gy = packed[0:n, :] - packed[2:2 + n, :]
 
@@ -244,9 +269,9 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
         for j in range(p):
             Hj = jnp.where(grp_l == j, H, F32(0.0))
             if j:
-                Hj = pltpu.roll(Hj, LANES - j * stride, axis=1)
+                Hj = pltpu.roll(Hj, lanes_p - j * stride, axis=1)
             col = jnp.sum(Hj, axis=1, keepdims=True)         # (D, 1)
-            O = O + jnp.where(lane == g * p + j, col, F32(0.0))
+            O = O + jnp.where(lane_bk == g * p + j, col, F32(0.0))
         return O
 
     @pl.when(n_act > 0)
@@ -287,25 +312,26 @@ def descriptor_hist_packed(gauss_padded, s, xi, yi, kp_scale, angle, count,
                            interpret: bool = False,
                            r_max: int = 30):
     """Lane-packed raw descriptor histograms: same contract as
-    descriptor_kernel.descriptor_hist_pallas; requires pack_p(r_max) >= 2
-    (callers keep wider buckets on the per-keypoint kernel)."""
+    descriptor_kernel.descriptor_hist_pallas; requires a pack_layout for
+    r_max (wn <= 129 — callers keep wider buckets on the per-keypoint
+    kernel)."""
     M = s.shape[0]
     al = 16 if gauss_padded.dtype == jnp.bfloat16 else 8
-    nb = -(-M // BK)
-    padn = nb * BK - M
+    bk = BK_INTERPRET if interpret else BK
+    nb = -(-M // bk)
+    padn = nb * bk - M
 
     def pad1(a):
         return jnp.pad(a, (0, padn))
 
     D = cfg.descriptor_size
-    p = pack_p(r_max)
-    stride = LANES // p
+    p, lanes_p, stride = pack_layout(r_max)
 
     kernel = functools.partial(
         _kernel, n_hist=cfg.descriptor_n_histograms,
         n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
         h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max,
-        p=p, stride=stride, BK=BK, kpad=nb * BK, al=al)
+        p=p, stride=stride, BK=bk, kpad=nb * bk, al=al, lanes_p=lanes_p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x
@@ -313,7 +339,7 @@ def descriptor_hist_packed(gauss_padded, s, xi, yi, kp_scale, angle, count,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb,BK)
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # angle (nb,BK)
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((D, BK), lambda i, *_: (0, i),
+        out_specs=pl.BlockSpec((D, bk), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * _subl(2 * r_max + 3, al), p * LANES_DMA),
@@ -325,12 +351,12 @@ def descriptor_hist_packed(gauss_padded, s, xi, yi, kp_scale, angle, count,
     hist_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, nb * BK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, nb * bk), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(count, jnp.int32).reshape(1),
       pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
       pad1(jnp.clip(yi, 0, h - 1)).astype(jnp.int32),
       pad1(jnp.clip(xi, 0, w - 1)).astype(jnp.int32),
-      pad1(kp_scale).reshape(nb, BK), pad1(angle).reshape(nb, BK),
+      pad1(kp_scale).reshape(nb, bk), pad1(angle).reshape(nb, bk),
       gauss_padded)
     return hist_t.T[:M]

@@ -265,7 +265,8 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
                                     kp_scale, count, h: int, w: int, pad: int,
                                     cfg: SiftConfig = DEFAULT_CONFIG,
                                     interpret: bool = False, live=None,
-                                    chunk: int = 32768):
+                                    chunk: int = 32768,
+                                    with_peaks: bool = False):
     """Scale-bucketed orientation histograms: partitions the candidate batch
     by integer scale index and runs a right-sized kernel per bucket
     (BUCKET_R_ORI), restoring original row order. Exactly equal to
@@ -273,18 +274,29 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
 
     s_img: (K,) int32 Gaussian image index to sample; s_level: (K,) int32
     raw scale index in [1, 3] — the bucket key bounding kp_scale. live:
-    optional (K,) bool validity mask replacing the lane < count prefix."""
-    from .orientation_packed import orientation_histograms_packed
+    optional (K,) bool validity mask replacing the lane < count prefix.
+
+    with_peaks: return (hist, angles_p, n_peaks) with the packed kernels'
+    in-kernel peak extraction merged across buckets (see
+    orientation_packed.N_PEAKS_CAP) — or (hist, None, None) when any
+    bucket runs the per-keypoint kernel (cfg.window_kernel != "packed"),
+    which has no peak path; callers then use the XLA peaks."""
+    from .orientation_packed import (N_PEAKS_CAP,
+                                     orientation_histograms_packed)
 
     K = s_img.shape[0]
     if live is None:
         live = jnp.arange(K, dtype=jnp.int32) < count
     n_bins = cfg.n_orientation_bins
     out = jnp.zeros((K, n_bins), F32)
+    out_ang = jnp.zeros((K, N_PEAKS_CAP), F32)
+    out_npk = jnp.zeros((K,), jnp.int32)
     # scalar-prefetch operands live in SMEM: chunk huge batched candidate
-    # sets into <=32k-lane kernel calls (chunks are 128-multiples, so block
-    # boundaries and packing groups are unchanged — bit-identical results)
+    # sets into <=32k-lane kernel calls (chunks are block-size multiples,
+    # so block boundaries and packing groups are unchanged — bit-identical
+    # results)
     CHUNK = chunk
+    peaks_ok = True
     for si, r_max in bucket_radii_ori(cfg).items():
         maskb = live & (s_level == si)
         idxb, validb, countb = compact_indices(maskb, K)
@@ -293,19 +305,36 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
         packed = cfg.window_kernel == "packed" and pack_p(r_max) >= 2
         fn = (orientation_histograms_packed if packed
               else orientation_histograms_pallas)
+        want_peaks = with_peaks and packed
+        peaks_ok = peaks_ok and packed
 
         def run(sl):
             cnt = jnp.clip(countb - sl.start, 0, sl.stop - sl.start)
-            return fn(gauss_padded, s_img[idxb[sl]], y[idxb[sl]],
-                      x[idxb[sl]], kp_scale[idxb[sl]], cnt, h, w, pad, cfg,
-                      interpret, r_max, False)
+            args = (gauss_padded, s_img[idxb[sl]], y[idxb[sl]],
+                    x[idxb[sl]], kp_scale[idxb[sl]], cnt, h, w, pad, cfg,
+                    interpret, r_max, False)
+            return fn(*args, True) if want_peaks else (fn(*args),)
 
         if K <= CHUNK:
-            hb = run(slice(0, K))
+            parts = [run(slice(0, K))]
         else:
-            hb = jnp.concatenate(
-                [run(slice(c0, min(c0 + CHUNK, K)))
-                 for c0 in range(0, K, CHUNK)], axis=0)
+            parts = [run(slice(c0, min(c0 + CHUNK, K)))
+                     for c0 in range(0, K, CHUNK)]
+        hb = (parts[0][0] if len(parts) == 1
+              else jnp.concatenate([pp[0] for pp in parts], axis=0))
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
-    return _smooth(out)
+        if want_peaks:
+            ab = (parts[0][1] if len(parts) == 1
+                  else jnp.concatenate([pp[1] for pp in parts], axis=0))
+            nb_ = (parts[0][2] if len(parts) == 1
+                   else jnp.concatenate([pp[2] for pp in parts], axis=0))
+            out_ang = jnp.where(maskb[:, None],
+                                jnp.take(ab, rank, axis=0), out_ang)
+            out_npk = jnp.where(maskb, jnp.take(nb_, rank), out_npk)
+    hist = _smooth(out)
+    if not with_peaks:
+        return hist
+    if not peaks_ok:
+        return hist, None, None
+    return hist, out_ang, out_npk

@@ -52,7 +52,17 @@ F32 = jnp.float32
 I32 = jnp.int32
 LANES = 128
 LANES_DMA = 256
-BK = 128                    # candidates per grid block (output lane width)
+# Candidates per grid block (output lane width). Grid-step overhead on this
+# backend is ~5-10 us/step (round-4 window breakdown: dead-capacity grids
+# cost ms at bench density), so hardware blocks are wide; interpret-mode
+# tests keep the round-3 width for compile tractability.
+BK = 512
+BK_INTERPRET = 128
+# In-kernel peak-slot capacity: angles for the first N_PEAKS_CAP emitted
+# bins per candidate ride out with the histogram; the driver falls back to
+# the XLA peaks path (lax.cond) iff any candidate emits more (a histogram
+# can emit up to n_bins//2 = 18 in theory; >2 is already rare).
+N_PEAKS_CAP = 4
 
 
 def _pack_layout(r_max: int):
@@ -63,8 +73,9 @@ def _pack_layout(r_max: int):
 
 
 def _kernel(count_ref, s_ref, y_ref, x_ref,
-            scale_blk, gauss_hbm, hist_ref, win_ref, sem, *, n_bins,
-            lambda_ori, h, w, pad, w_pad, r_max, p, stride, BK, kpad, al=8):
+            scale_blk, gauss_hbm, hist_ref, peaks_ref, win_ref, sem, *,
+            n_bins, lambda_ori, localmax_ratio,
+            h, w, pad, w_pad, r_max, p, stride, BK, kpad, al=8):
     blk = pl.program_id(0)
     base = blk * BK
 
@@ -79,8 +90,10 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
     n_groups = -(-BK // p)
 
     # static per-lane layout vectors (built from iota: pallas kernels cannot
-    # capture array constants)
+    # capture array constants); lane indexes the 128-lane WINDOW registers,
+    # lane_bk the BK-lane param/output rows (distinct once BK > 128)
     lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+    lane_bk = jax.lax.broadcasted_iota(I32, (1, BK), 1)
     grp_l = lane // stride
     m_l = lane - grp_l * stride
     colvalid_l = ((grp_l < p) & (m_l >= 1) & (m_l <= wn - 2))
@@ -168,7 +181,7 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             # per-candidate params -> per-lane vectors (masked lane reduce
             # of the block param rows; all vector ops, no scalar sync)
             li = g * p + j
-            sel = (lane == li)
+            sel = (lane_bk == li)
             radius_v = radius_v + jnp.where(
                 gm, jnp.sum(jnp.where(sel, radius_row, F32(0.0)),
                             axis=1, keepdims=True), F32(0.0))
@@ -216,7 +229,7 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             if j:
                 Hj = pltpu.roll(Hj, LANES - j * stride, axis=1)
             col = jnp.sum(Hj, axis=1, keepdims=True)         # (36, 1)
-            O = O + jnp.where(lane == g * p + j, col, F32(0.0))
+            O = O + jnp.where(lane_bk == g * p + j, col, F32(0.0))
         return O
 
     @pl.when(n_act > 0)
@@ -250,21 +263,63 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
                           body, jnp.zeros((n_bins, BK), F32))
     hist_ref[:, :] = O
 
+    # ---- in-kernel smoothing + peak extraction (round 4) ----
+    # The raw histogram rows are already resident: smoothing + the
+    # reference's local-max scan (lib.rs:394-431) are ~20 (1, BK) vector
+    # ops per bin here, vs ~10 full (K, 36) XLA passes in the driver
+    # (measured 21.5 ms/batch at bench density). Op-for-op identical f32
+    # math to ops.orientation.orientation_peaks on the XLA-_smooth'd
+    # histogram (all elementwise; max is order-free), so the driver's
+    # rare-overflow fallback path emits byte-identical results.
+    raw = [O[k:k + 1, :] for k in range(n_bins)]
+    sm = [(raw[k - 2] + raw[(k + 2) % n_bins]) * F32(1.0 / 16.0)
+          + (raw[k - 1] + raw[(k + 1) % n_bins]) * F32(4.0 / 16.0)
+          + raw[k] * F32(6.0) / F32(16.0)
+          for k in range(n_bins)]
+    hmax = functools.reduce(jnp.maximum, sm)
+    thr = hmax * F32(localmax_ratio)
+    binw = np.float32(360.0) / np.float32(n_bins)
+    cnt = jnp.zeros((1, BK), I32)
+    ang = [jnp.zeros((1, BK), F32) for _ in range(N_PEAKS_CAP)]
+    for k in range(n_bins):
+        hm = sm[k - 1]
+        hp = sm[(k + 1) % n_bins]
+        emit_k = (sm[k] > hm) & (sm[k] > hp) & (sm[k] >= thr)
+        interp = (hm - hp) / (hm - F32(2.0) * sm[k] + hp)
+        bin_f = F32(float(k)) + F32(0.5) * interp
+        bin_f = jnp.where(bin_f < 0, F32(n_bins) + bin_f,
+                          jnp.where(bin_f >= n_bins,
+                                    bin_f - F32(n_bins), bin_f))
+        a_k = F32(360.0) - binw * bin_f
+        cnt = cnt + emit_k.astype(I32)
+        for t in range(N_PEAKS_CAP):
+            ang[t] = ang[t] + jnp.where(emit_k & (cnt == t + 1), a_k,
+                                        F32(0.0))
+    peaks_ref[:, :] = jnp.concatenate(
+        ang + [cnt.astype(F32)] * (8 - N_PEAKS_CAP), axis=0)
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def orientation_histograms_packed(gauss_padded, s, y, x, kp_scale, count,
                                   h: int, w: int, pad: int,
                                   cfg: SiftConfig = DEFAULT_CONFIG,
                                   interpret: bool = False,
                                   r_max: int = 16,
-                                  smooth: bool = True):
+                                  smooth: bool = True,
+                                  with_peaks: bool = False):
     """Lane-packed orientation histograms: same contract and bit-identical
     results as orientation_kernel.orientation_histograms_pallas, ~p x less
-    VPU work per candidate (p = 128 // (2*r_max+3))."""
+    VPU work per candidate (p = 128 // (2*r_max+3)).
+
+    with_peaks: additionally return (angles_p (K, N_PEAKS_CAP) f32,
+    n_peaks (K,) int32) — the in-kernel smoothed-histogram peak angles
+    (first N_PEAKS_CAP emitted bins, ascending) and the TOTAL emit count
+    (uncapped, so callers can detect slot overflow)."""
     K = s.shape[0]
     al = 16 if gauss_padded.dtype == jnp.bfloat16 else 8
-    nb = -(-K // BK)
-    padn = nb * BK - K
+    bk = BK_INTERPRET if interpret else BK
+    nb = -(-K // bk)
+    padn = nb * bk - K
 
     def pad1(a):
         return jnp.pad(a, (0, padn))
@@ -274,8 +329,9 @@ def orientation_histograms_packed(gauss_padded, s, y, x, kp_scale, count,
 
     kernel = functools.partial(
         _kernel, n_bins=n_bins, lambda_ori=cfg.lambda_ori,
+        localmax_ratio=cfg.orientation_localmax_ratio,
         h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max,
-        p=p, stride=stride, BK=BK, kpad=nb * BK, al=al)
+        p=p, stride=stride, BK=bk, kpad=nb * bk, al=al)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # count, s, y, x
@@ -284,8 +340,12 @@ def orientation_histograms_packed(gauss_padded, s, y, x, kp_scale, count,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb, BK)
             pl.BlockSpec(memory_space=pl.ANY),       # gauss stack (HBM)
         ],
-        out_specs=pl.BlockSpec((n_bins, BK), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((n_bins, bk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bk), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2 * _subl(2 * r_max + 3, al), p * LANES_DMA),
                        gauss_padded.dtype),
@@ -293,17 +353,23 @@ def orientation_histograms_packed(gauss_padded, s, y, x, kp_scale, count,
         ],
     )
 
-    hist_t = pl.pallas_call(
+    hist_t, peaks_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_bins, nb * BK), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((n_bins, nb * bk), jnp.float32),
+                   jax.ShapeDtypeStruct((8, nb * bk), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(count, jnp.int32).reshape(1),
       pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
       pad1(jnp.clip(y, 0, h - 1)).astype(jnp.int32),
       pad1(jnp.clip(x, 0, w - 1)).astype(jnp.int32),
-      pad1(kp_scale).reshape(nb, BK),
+      pad1(kp_scale).reshape(nb, bk),
       gauss_padded)
 
     raw = hist_t.T[:K]
-    return _smooth(raw) if smooth else raw
+    out = _smooth(raw) if smooth else raw
+    if not with_peaks:
+        return out
+    angles_p = peaks_t[:N_PEAKS_CAP].T[:K]                   # (K, PK)
+    n_peaks = peaks_t[N_PEAKS_CAP].astype(jnp.int32)[:K]     # (K,)
+    return out, angles_p, n_peaks

@@ -106,10 +106,13 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
     x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
 
     out = _blur_strip(x, taps, r0, wb)
-    od = gauss_ref.dtype
     rows = out[halo8:halo8 + TILE, lhalo:lhalo + lb]
-    dog = (rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]).astype(od)
-    rows = rows.astype(od)
+    # dog keeps its own dtype: the "split" storage mode stores the Gaussian
+    # stack bf16 (window-stage reads) but the DoG f32 (everything Newton
+    # refinement reads), computed from the UNROUNDED f32 blur result
+    dog = (rows - x[halo8:halo8 + TILE, lhalo:lhalo + lb]).astype(
+        dog_ref.dtype)
+    rows = rows.astype(gauss_ref.dtype)
     if batched:
         gauss_ref[0, 0, :, :] = rows
         dog_ref[0, 0, :, :] = dog
@@ -125,14 +128,20 @@ def _kernel(*refs, taps, halo8, h_pad, w_pad, src_slot, lb, lhalo,
 def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
                 n_slots: int, gd: tuple | None, interpret: bool,
                 batch: int | None = None, gather16: bool = False,
-                n_g16: int = 3):
+                n_g16: int = 3, g_dtype=None, dog_dtype=None):
     """One blur level. src: base image (h_pad, w_pad) when gd is None (first
     level; allocates the slot stacks), else reads gd[0][dst_slot-1]. Writes
     gauss slot dst_slot and dog slot dst_slot in place (aliased). With
     `batch`, arrays carry a leading frame dim (B, ...) and the grid gains a
-    frame axis — one launch covers the whole batch."""
+    frame axis — one launch covers the whole batch.
+
+    g_dtype/dog_dtype override the two output stacks' storage dtypes (the
+    "split" mode stores gauss bf16 / dog f32); tap arithmetic is f32 either
+    way. Defaults: both follow the input dtype."""
     taps = tuple(float(t) for t in gaussian_kernel(sigma, cv_ksize(sigma)))
     dtype = (src if gd is None else gd[0]).dtype
+    g_dtype = dtype if g_dtype is None else g_dtype
+    dog_dtype = g_dtype if dog_dtype is None else dog_dtype
     al = 16 if dtype == jnp.bfloat16 else 8   # bf16 tiles are 16 sublanes
     halo8 = -(-(len(taps) // 2) // al) * al
     nb = h_pad // TILE
@@ -152,8 +161,9 @@ def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
         grid = (nb, nlb)
         blk = pl.BlockSpec((1, TILE, lb), lambda i, j: (dst_slot, i, j),
                            memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad),
-                                          dtype)] * 2
+        out_shape = [jax.ShapeDtypeStruct((n_slots, h_pad, w_pad), g_dtype),
+                     jax.ShapeDtypeStruct((n_slots, h_pad, w_pad),
+                                          dog_dtype)]
         if has_g16:
             out_shape.append(jax.ShapeDtypeStruct(
                 (n_g16, h_pad, w_pad), jnp.bfloat16))
@@ -163,7 +173,9 @@ def _call_level(src, dst_slot: int, sigma: float, h_pad: int, w_pad: int,
                            lambda f, i, j: (f, dst_slot, i, j),
                            memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((batch, n_slots, h_pad, w_pad),
-                                          dtype)] * 2
+                                          g_dtype),
+                     jax.ShapeDtypeStruct((batch, n_slots, h_pad, w_pad),
+                                          dog_dtype)]
         if has_g16:
             out_shape.append(jax.ShapeDtypeStruct(
                 (batch, n_g16, h_pad, w_pad), jnp.bfloat16))
@@ -220,29 +232,42 @@ def build_octave_padded(base_padded: jnp.ndarray, cfg: SiftConfig,
 
 def build_octave_padded_batched(base_padded: jnp.ndarray, cfg: SiftConfig,
                                 interpret: bool = False,
-                                gather16: bool = False):
+                                gather16: bool = False,
+                                split: bool = False):
     """Batched build_octave_padded: base_padded (B, H_pad, W_pad) ->
     (gauss_slots, dog, g16) with gauss/dog (B, 5, H_pad, W_pad) and g16 a
     (B, 3, H_pad, W_pad) bf16 window-gather copy of levels 1-3 when
     `gather16` (else None). One kernel launch per level covers the whole
-    frame batch (frame axis on the grid)."""
+    frame batch (frame axis on the grid).
+
+    split (storage_dtype="split"): the Gaussian stack is STORED bf16 (what
+    the blur chain re-reads and the window kernels sample) while the DoG is
+    stored f32 from the unrounded f32 tap sums — Newton refinement reads
+    exactly what an f32 chain seeded with the same base would produce up to
+    the bf16 rounding of the chain inputs, and stays on the walk/tile
+    kernels (which require f32 DoG). Mutually exclusive with gather16."""
     batch, h_pad, w_pad = base_padded.shape
     sigmas = cfg.octave_sigmas()
     n_slots = len(sigmas) - 1
+    assert not (split and gather16)
+    g_dtype = jnp.bfloat16 if split else None
+    dog_dtype = jnp.float32 if split else None
     gd = None
     g16 = None
     for k, sigma in enumerate(sigmas[1:]):
         has16 = gather16 and k < 3
         if gd is None:
             res = _call_level(base_padded, 0, sigma, h_pad, w_pad, n_slots,
-                              None, interpret, batch=batch, gather16=gather16)
+                              None, interpret, batch=batch, gather16=gather16,
+                              g_dtype=g_dtype, dog_dtype=dog_dtype)
         elif has16:
             res = _call_level(None, k, sigma, h_pad, w_pad, n_slots,
                               (gd[0], gd[1], g16), interpret, batch=batch,
                               gather16=gather16)
         else:
             res = _call_level(None, k, sigma, h_pad, w_pad, n_slots, gd,
-                              interpret, batch=batch)
+                              interpret, batch=batch,
+                              g_dtype=g_dtype, dog_dtype=dog_dtype)
         if has16:
             g, d, g16 = res
         else:

@@ -594,10 +594,29 @@ def test_packed_orientation_matches_perkey():
     ks = (rng.rand(K).astype(np.float32) * 2.0 + 0.5)
     args = (jnp.asarray(g), jnp.asarray(s), jnp.asarray(y), jnp.asarray(x),
             jnp.asarray(ks), count, h, w, P, DEFAULT_CONFIG, True)
+    from sift_features_tpu.ops import orientation as ori_ops
+
     for r_max in (10, 16):
         ref = np.asarray(orientation_histograms_pallas(*args, r_max))[:count]
-        new = np.asarray(orientation_histograms_packed(*args, r_max))[:count]
-        np.testing.assert_allclose(new, ref, rtol=3e-6, atol=1e-6)
+        hist, ang_p, n_pk = orientation_histograms_packed(
+            *args, r_max, True, True)
+        np.testing.assert_allclose(np.asarray(hist)[:count], ref,
+                                   rtol=3e-6, atol=1e-6)
+        # in-kernel peak extraction vs the XLA path on the same smoothed
+        # histograms (round 4): same emit count per candidate; angles match
+        # to ~1 ULP at 360-degree scale (XLA:CPU contracts the interp math
+        # into FMAs differently between the two programs — on TPU the e2e
+        # gate tools/check_modes.py packed-vs-perkey measures delta 0.00
+        # and 223/223 byte-exact descriptors)
+        angles, emit = ori_ops.orientation_peaks(hist, DEFAULT_CONFIG)
+        angles, emit = np.asarray(angles), np.asarray(emit)
+        ang_p, n_pk = np.asarray(ang_p), np.asarray(n_pk)
+        for i in range(count):
+            bins = np.nonzero(emit[i])[0]
+            assert n_pk[i] == len(bins), (i, n_pk[i], bins)
+            np.testing.assert_allclose(ang_p[i, :len(bins)][:4],
+                                       angles[i, bins][:4],
+                                       rtol=1e-6, atol=5e-5)
 
 
 @pytest.mark.mid
@@ -622,7 +641,9 @@ def test_packed_descriptor_matches_perkey():
     args = (jnp.asarray(g), jnp.asarray(s), jnp.asarray(x), jnp.asarray(y),
             jnp.asarray(ks), jnp.asarray(ang), count, h, w, P,
             DEFAULT_CONFIG, True)
-    for r_max in (24, 30):
+    # 24/30 pack 2 windows in one 128-lane register; 38 (wn = 79) exercises
+    # the wide 256-lane/p=2 layout (round 4)
+    for r_max in (24, 30, 38):
         raw_ref = descriptor_hist_pallas(*args, r_max)
         raw_new = descriptor_hist_packed(*args, r_max)
         np.testing.assert_allclose(np.asarray(raw_new)[:count],

@@ -19,7 +19,10 @@ def _frames(n, h=96, w=128, seed=0):
     return np.stack([np.roll(base, 3 * i, axis=1) for i in range(n)])
 
 
-@pytest.mark.smoke
+# The three full-pipeline stream tests each compile the whole extractor in
+# XLA:CPU interpret mode (~3 min apiece cold) — they carry the mid tier;
+# the smoke tier keeps the cheap producer-contract case below.
+@pytest.mark.mid
 def test_stream_matches_direct():
     frames = _frames(5)
     batches = [frames[0:2], frames[2:4], frames[4:5]]  # ragged tail
@@ -41,7 +44,7 @@ def test_stream_matches_direct():
                                       np.asarray(want["desc"])[wv])
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
 def test_stream_compact_and_buffer_reuse():
     """compact=True yields per-frame (kps, desc); a producer that reuses
     its buffer (like the native BatchLoader) must not corrupt in-flight
@@ -65,7 +68,17 @@ def test_stream_compact_and_buffer_reuse():
         np.testing.assert_array_equal(desc, wd[i][wv[i]])
 
 
-@pytest.mark.smoke
+@pytest.mark.mid
+def test_stream_growth_error_cheap():
+    """Producer-contract check: a growing batch must be rejected (still
+    compiles the first batch's program — too slow for smoke)."""
+    frames = _frames(3, seed=2)
+    with pytest.raises(ValueError, match="batch grew"):
+        list(stream_extract(iter([frames[0:1], frames[1:3]]),
+                            DEFAULT_CONFIG))
+
+
+@pytest.mark.mid
 def test_stream_budget_and_growth_error():
     frames = _frames(3, seed=2)
     with pytest.raises(ValueError, match="batch grew"):

@@ -43,6 +43,9 @@ def main():
             cfg, window_kernel=os.environ["BENCH_WINDOW_KERNEL"])
     if os.environ.get("BENCH_STORAGE_BF16") == "1":
         cfg = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    if os.environ.get("BENCH_STORAGE"):
+        cfg = dataclasses.replace(cfg,
+                                  storage_dtype=os.environ["BENCH_STORAGE"])
     budget = int(os.environ.get("BENCH_BUDGET", "0")) or None
     n_oct = cfg.n_octaves(frames.shape[1] * 2, frames.shape[2] * 2)
 

@@ -80,7 +80,7 @@ def main():
         timed("perkey", orientation_histograms_pallas, *a)
         timed("packed", orientation_histograms_packed, *a)
 
-    for r_max in (24, 30):
+    for r_max in (24, 30, 38):
         a = (gj, jnp.asarray(s), jnp.asarray(x), jnp.asarray(y),
              jnp.asarray(ks), jnp.asarray(ang), count, h, w, P, cfg,
              False, r_max)
