@@ -60,7 +60,7 @@ def _octave_capacities(h: int, w: int, cfg: SiftConfig):
 
 def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
                    cfg: SiftConfig, padded=None, hw=None, row_range=None,
-                   interpret: bool = False):
+                   describe: bool = True, interpret: bool = False):
     """Single-image single-octave detection. gauss: (S+3,H,W), dog: (S+2,H,W)
     — OR, when `padded` is given, pre-built padded stacks from the fused
     pyramid kernels: padded = (gauss_slots, dog_p, slot_off) where
@@ -177,6 +177,30 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
     kp_resp = resp[ci]
     kp_s = s[ci]
 
+    osf = F32(2.0 ** octave)
+    dm = F32(cfg.delta_min)
+    kps = jnp.stack([
+        (x_oct * osf) * dm,
+        (y_oct * osf) * dm,
+        (kp_sc * osf) * dm,
+        kp_angle,
+        kp_resp,
+    ], axis=-1)
+    res = {
+        "kps": kps, "valid": evalid,
+        "n_candidates": n_cand, "n_survivors": n_surv, "n_emitted": n_emit,
+        "caps": (K, K2, M),
+    }
+    if not describe:
+        # budgeted spatial path (C15, lib.rs:156-161): description is
+        # deferred until the per-frame response top-K resolves across space
+        # members; hand back the descriptor-kernel inputs + window context
+        # so only selected keypoints are described (_describe_octave_subset).
+        res["desc_in"] = {"kp_s": kp_s, "x_oct": x_oct, "y_oct": y_oct,
+                          "kp_sc": kp_sc, "kp_angle": kp_angle}
+        res["win_ctx"] = (gauss_padded, slot_off, use_pallas)
+        return res
+
     if use_pallas:
         from ..ops.extrema import rust_round
         from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
@@ -191,21 +215,34 @@ def _detect_octave(gauss: jnp.ndarray, dog: jnp.ndarray, octave: int,
         descs = desc_ops.descriptor_batch_blocked(
             gauss_padded, h, w, kp_s, x_oct, y_oct, kp_sc, kp_angle, evalid,
             cfg, count=n_emit)
+    res["desc"] = descs
+    return res
 
-    osf = F32(2.0 ** octave)
-    dm = F32(cfg.delta_min)
-    kps = jnp.stack([
-        (x_oct * osf) * dm,
-        (y_oct * osf) * dm,
-        (kp_sc * osf) * dm,
-        kp_angle,
-        kp_resp,
-    ], axis=-1)
-    return {
-        "kps": kps, "desc": descs, "valid": evalid,
-        "n_candidates": n_cand, "n_survivors": n_surv, "n_emitted": n_emit,
-        "caps": (K, K2, M),
-    }
+
+def _describe_octave_subset(win_ctx, fields, live, cfg: SiftConfig, h: int,
+                            w: int, interpret: bool = False):
+    """Describe a compacted single-frame keypoint subset from
+    _detect_octave(describe=False) output: fields are (C,) vectors of the
+    desc_in pytree gathered at the selected rows, live the (C,) validity
+    mask. Same kernels + finalization as the full path (reference: describe
+    runs after the feature-limit truncation, lib.rs:156-161)."""
+    gauss_padded, slot_off, use_pallas = win_ctx
+    n_live = jnp.sum(live)
+    if use_pallas:
+        from ..ops.extrema import rust_round
+        from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
+
+        xi = rust_round(fields["x_oct"]).astype(jnp.int32)
+        yi = rust_round(fields["y_oct"]).astype(jnp.int32)
+        hist128 = descriptor_hist_bucketed(
+            gauss_padded, fields["kp_s"] - slot_off, fields["kp_s"], xi, yi,
+            fields["kp_sc"], fields["kp_angle"], n_live, h, w,
+            desc_ops.PAD_DESC, cfg, interpret, live=live)
+        return desc_ops.finalize_descriptor(hist128, cfg)
+    return desc_ops.descriptor_batch_blocked(
+        gauss_padded, h, w, fields["kp_s"], fields["x_oct"],
+        fields["y_oct"], fields["kp_sc"], fields["kp_angle"], live, cfg,
+        count=n_live)
 
 
 def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
@@ -227,7 +264,7 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     from ..ops.pallas.extrema_kernel import extrema_words_batched
     from ..ops.pallas.orientation_kernel import orientation_histograms_bucketed
 
-    B, n_planes = gauss_p.shape[0], gauss_p.shape[1]
+    B, n_dog = dog_p.shape[0], dog_p.shape[1]
     h, w = hw
     hp, wp = dog_p.shape[-2], dog_p.shape[-1]
     K, K2, M = _octave_capacities(h, w, cfg)
@@ -259,8 +296,8 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     if stages == "extrema":
         return dummy((None, n_cand))
 
-    dog_flat = dog_p.reshape(B * n_planes, hp, wp)
-    poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_planes, K)
+    dog_flat = dog_p.reshape(B * n_dog, hp, wp)
+    poff_k = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * n_dog, K)
     ref = ext_ops.refine_tpu_auto(
         dog_flat, s0.reshape(-1), y0.reshape(-1), x0.reshape(-1),
         valid.reshape(-1), P, h, w, cfg, plane_off=poff_k,
@@ -444,12 +481,16 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
         if w_pad > 1536:  # lane-blocked kernels need 1024-multiples
             w_pad = -(-w_pad // 1024) * 1024
         if h_pad >= 256 and w_pad >= 256:
-            from ..ops.pallas.pyramid_kernel import (
-                build_octave_padded_batched, reflect_pad_image)
+            from ..ops.pallas.pyramid_kernel import (build_octave_fused,
+                                                     reflect_pad_image)
 
             base = jax.vmap(lambda im: reflect_pad_image(
                 im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(initial)
-            g, d, g16 = build_octave_padded_batched(
+            # whole-octave fused kernel: the blur chain lives in VMEM, only
+            # Gaussian levels 1-3 + the DoG reach HBM (bit-equal to the
+            # per-level builder at f32; detection-safe bf16 windows in
+            # "split" mode — the f32 chain never rounds)
+            g, d, g16, l3 = build_octave_fused(
                 base, cfg, interpret,
                 gather16=(cfg.gather_dtype == "bfloat16"
                           and cfg.storage_dtype == "float32"),
@@ -459,7 +500,8 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
                                               describe=budget is None,
                                               interpret=interpret))
             sp = cfg.scales_per_octave
-            initial = g[:, sp - 1, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
+            nxt = l3 if l3 is not None else g[:, sp - 1]
+            initial = nxt[:, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
         else:
             # tiny top octaves: per-frame XLA fallback (Pallas kernels must
             # not run under lax.map's batching here anyway)

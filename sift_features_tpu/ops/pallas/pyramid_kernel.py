@@ -276,6 +276,166 @@ def build_octave_padded_batched(base_padded: jnp.ndarray, cfg: SiftConfig,
     return gd[0], gd[1], g16
 
 
+TILE_F = 128    # output rows per grid step, fused whole-octave kernel
+
+
+def _octave_kernel(*refs, taps_list, n_keep, halo8t, h_pad, w_pad, lb,
+                   lhalo, has_g16, has_l3, al):
+    """Whole-octave fused kernel: ALL blur levels chained in VMEM.
+
+    One strip of the octave base is DMA'd once; levels 1..S+2 are computed
+    sequentially in VMEM (f32 tap math, identical op order to _kernel /
+    ops.gaussian, so results are bit-equal to the per-level chain) and only
+    the consumed products reach HBM: Gaussian levels 1..3 (the only levels
+    the window kernels sample — s_level is in [1, 3]) and all 5 DoG slices.
+    Levels 4/5 never touch HBM (their only consumer is the DoG); the
+    per-level chain's L_k re-reads vanish entirely.
+
+    halo8t covers the CUMULATIVE tap reach of the whole chain (sum of the
+    per-level radii, 42 for the default config): level k's valid strip rows
+    shrink by r_k per side, so the TILE_F output window stays exact through
+    level S+2. Strip-edge roll wrap poisons at most that many outermost pad
+    rows/cols — still inside the PAD_DESC=56 ring, and every consumer
+    either masks out-of-image samples (window kernels, reference
+    lib.rs:685-688/841-848) or stays >= image_border from the edge
+    (extrema/refinement), so the deeper poison is as unread as the
+    per-level kernel's.
+
+    refs layout: (base_hbm, gauss_ref, dog_ref, [g16_ref], [l3_ref],
+    buf, sem). g16: bf16 window-gather copy of levels 1-3 (gather16 mode).
+    l3: separate f32 copy of level 3 ("split" mode: the next octave's chain
+    base must stay f32 while the stored Gaussian stack is bf16)."""
+    base_hbm, gauss_ref, dog_ref = refs[:3]
+    k = 3
+    g16_ref = l3_ref = None
+    if has_g16:
+        g16_ref = refs[k]; k += 1
+    if has_l3:
+        l3_ref = refs[k]; k += 1
+    buf, sem = refs[k:k + 2]
+    f = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    r0 = TILE_F + 2 * halo8t
+    wb = lb + 2 * lhalo
+
+    start = jnp.clip(i * TILE_F - halo8t, 0, h_pad - r0)
+    start = pl.multiple_of((start // al) * al, al)
+    lstart = jnp.clip(j * lb - lhalo, 0, w_pad - wb)
+    lstart = pl.multiple_of((lstart // 128) * 128, 128)
+    src = base_hbm.at[f, pl.ds(start, r0), pl.ds(lstart, wb)]
+    cp = pltpu.make_async_copy(src, buf, sem)
+    cp.start()
+    cp.wait()
+
+    ofs = (i * TILE_F - halo8t) - start
+    x = pltpu.roll(buf[:, :].astype(F32), jnp.mod(-ofs, jnp.int32(r0)),
+                   axis=0)
+    lofs = (j * lb - lhalo) - lstart
+    x = pltpu.roll(x, jnp.mod(-lofs, jnp.int32(wb)), axis=1)
+
+    cur = x
+    for lv, taps in enumerate(taps_list):
+        nxt = _blur_strip(cur, taps, r0, wb)
+        rows_n = nxt[halo8t:halo8t + TILE_F, lhalo:lhalo + lb]
+        rows_c = cur[halo8t:halo8t + TILE_F, lhalo:lhalo + lb]
+        dog_ref[0, lv, :, :] = (rows_n - rows_c).astype(dog_ref.dtype)
+        if lv < n_keep:
+            gauss_ref[0, lv, :, :] = rows_n.astype(gauss_ref.dtype)
+            if g16_ref is not None:
+                g16_ref[0, lv, :, :] = rows_n.astype(jnp.bfloat16)
+        if l3_ref is not None and lv == n_keep - 1:
+            l3_ref[0, :, :] = rows_n
+        cur = nxt
+
+
+def build_octave_fused(base_padded: jnp.ndarray, cfg: SiftConfig,
+                       interpret: bool = False, gather16: bool = False,
+                       split: bool = False):
+    """Whole-octave fused builder: base_padded (B, H_pad, W_pad) ->
+    (gauss, dog, g16, l3) with gauss (B, 3, H_pad, W_pad) = levels 1-3
+    (the only Gaussian levels any window kernel samples), dog
+    (B, 5, H_pad, W_pad), g16 a bf16 copy of gauss when `gather16`, l3 a
+    separate f32 level-3 plane when `split` (next-octave chain base).
+
+    ONE kernel launch per octave for the whole batch; the blur chain lives
+    in VMEM, so vs. the per-level builder the L1..L4 HBM re-reads and the
+    L4/L5 writes disappear (~2x less pyramid traffic at f32). f32 results
+    are bit-equal to build_octave_padded_batched (same taps, same roll
+    order, f32 HBM roundtrips are exact).
+
+    split (storage_dtype="split"): Gaussian stack STORED bf16, DoG f32 from
+    the unrounded in-VMEM f32 chain — unlike the per-level split mode the
+    chain never rounds, so the DoG (everything detection reads) is
+    BIT-EXACT vs the f32 chain: keypoint positions/scales/responses are
+    detection-safe; only window samples (orientation/descriptor) see bf16.
+
+    Requires h_pad >= TILE_F + cumulative halo (>= 256 for the default
+    config) and the usual lane layout (w_pad % 1024 == 0 when > 1536)."""
+    batch, h_pad, w_pad = base_padded.shape
+    sigmas = cfg.octave_sigmas()
+    taps_list = tuple(
+        tuple(float(t) for t in gaussian_kernel(s, cv_ksize(s)))
+        for s in sigmas[1:])
+    n_dog = len(taps_list)
+    n_keep = cfg.scales_per_octave   # window kernels sample levels 1..S only
+    assert not (split and gather16)
+    dtype = base_padded.dtype
+    al = 16 if dtype == jnp.bfloat16 else 8
+    cum = sum(len(t) // 2 for t in taps_list)
+    halo8t = -(-cum // al) * al
+    assert h_pad % TILE_F == 0 and h_pad >= TILE_F + 2 * halo8t, h_pad
+    nb = h_pad // TILE_F
+    if w_pad > 1536:
+        lb, lhalo = LB_MAX, LHALO
+        assert w_pad % LB_MAX == 0, w_pad
+    else:
+        lb, lhalo = w_pad, 0
+    nlb = w_pad // lb
+    g_dtype = jnp.bfloat16 if (split or dtype == jnp.bfloat16) else F32
+    dog_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else F32
+
+    kernel = functools.partial(
+        _octave_kernel, taps_list=taps_list, n_keep=n_keep, halo8t=halo8t,
+        h_pad=h_pad, w_pad=w_pad, lb=lb, lhalo=lhalo, has_g16=gather16,
+        has_l3=split, al=al)
+    grid = (batch, nb, nlb)
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, n_keep, h_pad, w_pad), g_dtype),
+        jax.ShapeDtypeStruct((batch, n_dog, h_pad, w_pad), dog_dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n_keep, TILE_F, lb), lambda f, i, j: (f, 0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_dog, TILE_F, lb), lambda f, i, j: (f, 0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if gather16:
+        out_shape.append(jax.ShapeDtypeStruct((batch, n_keep, h_pad, w_pad),
+                                              jnp.bfloat16))
+        out_specs.append(pl.BlockSpec((1, n_keep, TILE_F, lb),
+                                      lambda f, i, j: (f, 0, i, j),
+                                      memory_space=pltpu.VMEM))
+    if split:
+        out_shape.append(jax.ShapeDtypeStruct((batch, h_pad, w_pad), F32))
+        out_specs.append(pl.BlockSpec((1, TILE_F, lb),
+                                      lambda f, i, j: (f, i, j),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_F + 2 * halo8t, lb + 2 * lhalo), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret)(base_padded)
+    g, d = res[0], res[1]
+    g16 = res[2] if gather16 else None
+    l3 = res[2] if split else None
+    return g, d, g16, l3
+
+
 def reflect_pad_image(img: jnp.ndarray, pad: int, extra_right: int,
                       extra_bottom: int = 0) -> jnp.ndarray:
     """Reflect-101-extend (H, W) -> (H+2p+eb, W+2p+er) with zero fill in the

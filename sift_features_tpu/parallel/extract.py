@@ -104,7 +104,8 @@ def _build_octaves_spatial(seed_rows: jnp.ndarray, n_octaves: int,
 
 
 def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
-                            cfg: SiftConfig, n_space: int):
+                            cfg: SiftConfig, n_space: int,
+                            budget: int | None = None):
     """Single-frame pipeline with the pyramid row-sharded over 'space' AND
     detection work sharded by row band: each space member scans, refines,
     orients and describes ONLY the candidates whose discrete extremum lies
@@ -114,11 +115,22 @@ def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
     concatenating members' valid rows gives the n_space=1 keypoint SET;
     order is member-major per octave instead of global scan order).
 
+    budget (C15, lib.rs:156-161): when set, members stop after orientation,
+    all_gather their emission responses over 'space' (4 B/lane — KB-scale),
+    take the per-frame global response top-K, and describe ONLY their own
+    selected keypoints. Same selection semantics as the fused budgeted path
+    (top_k over the member-major concatenated buffer — exactly the layout
+    the previous post-hoc truncation saw); the descriptor stage now runs at
+    budget cost instead of full-emission cost. Member output buffers are
+    (budget,)-sized; concatenating members' valid rows gives the selected
+    set.
+
     On TPU the per-candidate stages (refinement, orientation, description)
     run the Pallas kernels; only the extrema scan takes the XLA
     reduce-window path (the member's row band is a traced axis_index
     function, which the fused extrema kernel's static grid cannot take)."""
-    from ..models.extractor import _detect_octave
+    from ..models.extractor import (_describe_octave_subset, _detect_octave,
+                                    compact_indices)
 
     seed = pyr_ops.create_seed_image(img_u8[None], cfg)[0]   # replicated
     h_seed, w_seed = seed.shape
@@ -128,18 +140,57 @@ def _extract_single_spatial(img_u8: jnp.ndarray, n_octaves: int,
                                       (h_loc, w_seed))
     octs = _build_octaves_spatial(seed_rows, n_octaves, cfg, n_space, h_seed)
     out = []
+    hw_list = []
     for o, gauss in enumerate(octs):
         h = gauss.shape[-2]
         hb = -(-h // n_space)                 # member band = ceil split
         y0 = idx * hb
         r = _detect_octave(gauss, gauss[1:] - gauss[:-1], o, cfg,
-                           row_range=(y0, jnp.minimum(y0 + hb, h)))
+                           row_range=(y0, jnp.minimum(y0 + hb, h)),
+                           describe=budget is None)
         out.append(r)
-    return {
+        hw_list.append((h, gauss.shape[-1]))
+    res = {
         "kps": jnp.concatenate([r["kps"] for r in out], axis=0),
-        "desc": jnp.concatenate([r["desc"] for r in out], axis=0),
         "valid": jnp.concatenate([r["valid"] for r in out], axis=0),
         "n_candidates": jnp.stack([r["n_candidates"] for r in out]),
         "n_survivors": jnp.stack([r["n_survivors"] for r in out]),
         "n_emitted": jnp.stack([r["n_emitted"] for r in out]),
     }
+    if budget is None:
+        res["desc"] = jnp.concatenate([r["desc"] for r in out], axis=0)
+        return res
+
+    # ---- global per-frame top-K across space members, describe selected ---
+    m_tot = res["valid"].shape[0]
+    resp_loc = jnp.where(res["valid"], res["kps"][:, 4], -jnp.inf)
+    # member-major concatenation == the layout extract_match_step's previous
+    # post-hoc truncation saw, so tie-breaking is unchanged
+    resp_all = jax.lax.all_gather(resp_loc, "space", tiled=True)
+    kb = min(budget, n_space * m_tot)
+    top_val, top_idx = jax.lax.top_k(resp_all, kb)           # (kb,)
+    tvalid = top_val > -jnp.inf
+    mine = tvalid & (top_idx >= idx * m_tot) & (top_idx < (idx + 1) * m_tot)
+    loc = jnp.clip(top_idx - idx * m_tot, 0, m_tot - 1)      # (kb,) local row
+
+    out_kps = jnp.where(mine[:, None], res["kps"][loc], jnp.float32(0.0))
+    out_desc = jnp.zeros((kb, cfg.descriptor_size), jnp.uint8)
+    off = 0
+    for r, (h, w) in zip(out, hw_list):
+        m_o = r["valid"].shape[0]
+        in_o = mine & (loc >= off) & (loc < off + m_o)       # (kb,)
+        c_cap = min(kb, m_o)
+        midx, mvalid, _ = compact_indices(in_o, c_cap)       # rows of kb axis
+        sel = jnp.take(loc, midx) - off                      # octave-local
+        sel = jnp.clip(sel, 0, m_o - 1)
+        fields = {k: v[sel] for k, v in r["desc_in"].items()}
+        desc_c = _describe_octave_subset(r["win_ctx"], fields, mvalid, cfg,
+                                         h, w)               # (c_cap, D)
+        rank = jnp.cumsum(in_o) - 1
+        d_rows = desc_c[jnp.clip(rank, 0, c_cap - 1)]
+        out_desc = jnp.where(in_o[:, None], d_rows, out_desc)
+        off += m_o
+    res["kps"] = out_kps
+    res["desc"] = out_desc
+    res["valid"] = mine
+    return res

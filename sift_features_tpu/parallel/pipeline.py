@@ -46,7 +46,9 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
         if n_space > 1:
             res = jax.lax.map(
                 lambda im: _extract_single_spatial(im, n_octaves, cfg,
-                                                   n_space), im_shard)
+                                                   n_space,
+                                                   budget=features_limit),
+                im_shard)
         else:
             # n_space=1: the frame-batched fused pipeline — the SAME program
             # the single-chip bench runs (one kernel launch per stage per
@@ -75,12 +77,14 @@ def extract_match_step(imgs_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig,
         out_specs=out_specs, check_vma=False)(imgs_u8)
 
     if features_limit is not None and n_space > 1:
-        # spatial meshes detect per row band, so the budget cannot be taken
-        # before description inside a member (no member sees the whole
-        # frame); truncate post-hoc to the per-frame response top-K instead —
-        # identical output semantics to the fused budgeted path (C15), the
-        # descriptor-stage saving just doesn't apply on this latency-oriented
-        # path. Keeps the ring database at budget size either way.
+        # spatial meshes take the budget BEFORE description too (C15):
+        # members all_gather emission responses over 'space', select the
+        # per-frame global top-K, and describe only their own selected rows
+        # (_extract_single_spatial budget path). Each member then holds a
+        # (budget,)-sized buffer with only ITS rows valid; compress the
+        # member-concatenated (n_space*budget) axis back to budget rows so
+        # downstream shapes match the fused path (cheap — descriptors for
+        # dropped rows were never computed).
         kb = min(features_limit, res["kps"].shape[1])
         respb = jnp.where(res["valid"], res["kps"][..., 4], -jnp.inf)
         bval, bidx = jax.lax.top_k(respb, kb)

@@ -136,6 +136,45 @@ def test_pyramid_kernel_matches_jnp():
                                    rtol=0, atol=6e-7, err_msg=f"dog {k}")
 
 
+def test_pyramid_fused_octave_matches_per_level():
+    """Whole-octave fused kernel (chain in VMEM) vs the per-level builder:
+    byte-equal Gaussian levels 1-3 + DoG everywhere any consumer reads
+    (poison reach is the cumulative tap radius, 42 < PAD_DESC=56). Split
+    mode: DoG and the f32 level-3 plane stay BIT-exact (detection-safe)
+    while the stored Gaussian stack rounds to bf16."""
+    from sift_features_tpu.ops.pallas.pyramid_kernel import (
+        build_octave_fused, build_octave_padded_batched, reflect_pad_image)
+
+    cfg = DEFAULT_CONFIG
+    rng = np.random.RandomState(7)
+    h, w = 200, 300
+    P = desc_ops.PAD_DESC
+    h_pad = -(-(h + 2 * P) // 128) * 128
+    w_pad = -(-(w + 2 * P) // 128) * 128
+    img = (rng.rand(2, h, w) * 255).astype(np.float32)
+    base = jax.vmap(lambda im: reflect_pad_image(
+        im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(jnp.asarray(img))
+
+    g0, d0, _ = build_octave_padded_batched(base, cfg, interpret=True)
+    g1, d1, g16, l3 = build_octave_fused(base, cfg, interpret=True)
+    assert g16 is None and l3 is None
+    m = 48   # cumulative-halo poison margin (>= sum of tap radii = 42)
+    reg = (slice(None), slice(None), slice(m, -m), slice(m, -m))
+    np.testing.assert_array_equal(np.asarray(g0)[:, :3, m:-m, m:-m],
+                                  np.asarray(g1)[reg])
+    np.testing.assert_array_equal(np.asarray(d0)[reg], np.asarray(d1)[reg])
+
+    # split mode: gauss stored bf16, DoG + level-3 chain base exact f32
+    g2, d2, _, l3 = build_octave_fused(base, cfg, interpret=True, split=True)
+    assert g2.dtype == jnp.bfloat16 and d2.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(d0)[reg], np.asarray(d2)[reg])
+    np.testing.assert_array_equal(np.asarray(g0)[:, 2, m:-m, m:-m],
+                                  np.asarray(l3)[:, m:-m, m:-m])
+    np.testing.assert_array_equal(
+        np.asarray(g0)[:, :3][:, :, m:-m, m:-m].astype(jnp.bfloat16),
+        np.asarray(g2)[:, :, m:-m, m:-m])
+
+
 def test_descriptor_kernel_matches_jnp():
     from sift_features_tpu.ops import descriptor as desc_ops
     from sift_features_tpu.ops.extrema import rust_round
