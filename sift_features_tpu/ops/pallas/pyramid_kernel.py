@@ -429,6 +429,10 @@ def build_octave_fused(base_padded: jnp.ndarray, cfg: SiftConfig,
             pltpu.VMEM((TILE_F + 2 * halo8t, lb + 2 * lhalo), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the whole blur chain's value stack + double-buffered output
+        # blocks (~24 MB at lb=1024) exceed the default 16 MB scoped-vmem
+        # budget; the chip has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret)(base_padded)
     g, d = res[0], res[1]
     g16 = res[2] if gather16 else None
