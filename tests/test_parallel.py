@@ -136,13 +136,19 @@ def test_extract_match_step_budget(bird_small_cv2):
         np.testing.assert_allclose(kps[b][valid[b]][:, 4],
                                    fk[b][order][:, 4], rtol=0, atol=0)
 
-    # spatial mesh: budget applies post-hoc (no member sees the whole frame)
-    # with identical output semantics — same per-frame top-K response SET
+    # spatial mesh: the budget resolves BEFORE description (round 4 —
+    # members all_gather emission responses, take the per-frame top-K, and
+    # describe only their own selected keypoints,
+    # parallel/extract.py:_extract_single_spatial). Output semantics match
+    # the unbudgeted run's top-K: same response SET and, row-for-row by
+    # keypoint identity, byte-identical descriptors.
     mesh_s = make_mesh(n_data=2, n_space=2)
     res_s = extract_match_step(jnp.asarray(imgs[:2]), n_oct, cfg, mesh_s, 16,
                                limit)
     kps_s = np.asarray(res_s["kps"])
+    desc_s = np.asarray(res_s["desc"])
     valid_s = np.asarray(res_s["valid"])
+    fd = np.asarray(full["desc"])
     assert kps_s.shape[1] == limit
     for b in range(2):
         resp = np.where(fv[b], fk[b][:, 4], -np.inf)
@@ -151,6 +157,24 @@ def test_extract_match_step_budget(bird_small_cv2):
         np.testing.assert_allclose(np.sort(kps_s[b][valid_s[b]][:, 4]),
                                    np.sort(fk[b][order][:, 4]),
                                    rtol=0, atol=0)
+        # descriptor bytes of the describe-selected-subset path: every
+        # budgeted keypoint matches an unbudgeted top-K row (all 5 keypoint
+        # columns equal) whose descriptor bytes are identical
+        sel_k, sel_d = fk[b][order], fd[b][order]
+        got_k, got_d = kps_s[b][valid_s[b]], desc_s[b][valid_s[b]]
+        assert len(got_k) == len(sel_k)
+        used = np.zeros(len(sel_k), bool)
+        for i in range(len(got_k)):
+            cand = np.where(~used
+                            & (np.abs(sel_k - got_k[i]).sum(1) == 0))[0]
+            assert cand.size, f"frame {b}: kp {i} missing from full top-K"
+            # duplicates: prefer the identical-bytes row among equal kps
+            j = next((c for c in cand if (sel_d[c] == got_d[i]).all()),
+                     cand[0])
+            used[j] = True
+            np.testing.assert_array_equal(
+                got_d[i], sel_d[j],
+                err_msg=f"frame {b}: descriptor bytes differ for kp {i}")
 
 
 def test_ring_match_u8_equals_f32():
