@@ -21,6 +21,16 @@ block-granular:
   - (s, y, x) slot fields: one packed-word gather + div/mod decode instead
     of three K-table gathers.
 Measured 56 -> ~13 ms/batch (131072 lanes), byte-identical layout.
+
+Round-5 rewrite: the remaining argsort (a K·log²K bitonic sort — 131072
+lanes at octave-0 bench density) is replaced by a two-level stable
+COUNTING sort (_stable_bucket_positions): candidates chunk into L-lane
+blocks, a per-chunk key histogram + exclusive chunk-prefix gives each
+(chunk, key) its global base, and a strict-lower-triangular equality count
+gives the within-chunk rank — pos = starts[key] + chunk_base + rank, the
+exact inverse permutation of argsort(gkey, stable=True). O(K·L) VPU
+compares + one K-lane scatter-add instead of the sort network; layout
+stays byte-identical.
 """
 
 from __future__ import annotations
@@ -31,6 +41,49 @@ import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
+
+
+def _stable_bucket_positions(gkey: jnp.ndarray, nseg: int, L: int = 128):
+    """Stable counting-sort positions for keys in [0, nseg).
+
+    Returns (pos, counts, starts): pos[i] is element i's rank in the stable
+    ascending sort of gkey — exactly argsort(gkey, stable=True)'s inverse
+    permutation — plus the per-key counts and exclusive-prefix starts.
+
+    Two-level decomposition (VERDICT r4 task 3: candidates leave compaction
+    in scan order, already nearly region-ordered — a full sort network
+    recomputes an ordering the data nearly has):
+      pos[i] = starts[key_i]                      (key's global base)
+             + prefix_{chunks < c}(hist[:, key_i]) (earlier chunks' share)
+             + #(j < i in chunk c: key_j == key_i) (within-chunk rank)
+    Costs one K-lane scatter-add, a (C, nseg) cumsum, and a (C, L, L)
+    strict-lower-triangular equality reduce — all VPU/bandwidth-linear —
+    vs the K·log²K bitonic argsort."""
+    K = gkey.shape[0]
+    Kp = -(-K // L) * L
+    keyp = (jnp.concatenate([gkey, jnp.full((Kp - K,), nseg - 1, I32)])
+            if Kp > K else gkey)
+    keyc = keyp.reshape(-1, L)                                  # (C, L)
+    C = keyc.shape[0]
+    hist = jnp.zeros((C, nseg), I32).at[
+        jnp.arange(C, dtype=I32)[:, None], keyc].add(1, mode="drop")
+    counts_p = jnp.sum(hist, axis=0)                            # (nseg,)
+    starts = jnp.cumsum(counts_p, dtype=I32) - counts_p
+    chunk_pfx = jnp.cumsum(hist, axis=0, dtype=I32) - hist      # exclusive
+    lane = jnp.arange(L, dtype=I32)
+    eq = (keyc[:, :, None] == keyc[:, None, :]) & (
+        lane[:, None] > lane[None, :])
+    occ = jnp.sum(eq, axis=2, dtype=I32)                        # (C, L)
+    base = jnp.take_along_axis(chunk_pfx, keyc, axis=1)         # (C, L)
+    pos = jnp.take(starts, keyp) + (base + occ).reshape(-1)
+    if Kp > K:
+        # padding lanes hold key nseg-1 and sit AFTER every real element in
+        # array order, so stable ranks place them last within that key:
+        # real elements' positions are unaffected. Their count is removed
+        # so counts/starts describe the real keys only... except key nseg-1
+        # itself, whose count must subtract the padding.
+        counts_p = counts_p.at[nseg - 1].add(K - Kp)
+    return pos[:K], counts_p, starts
 
 
 @dataclasses.dataclass
@@ -81,12 +134,22 @@ def group_by_region(s0, y0, x0, valid, pad: int, Hp: int, Wp: int,
     NSEG = n_frames * (NR + 1)
     seg_ids = jnp.arange(NSEG, dtype=I32)
 
-    perm = jnp.argsort(gkey, stable=True)
-    inv_perm = jnp.zeros((K,), I32).at[perm].set(
-        jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
+    import os
 
-    counts = jnp.zeros((NSEG,), I32).at[gkey].add(1, mode="drop")
-    starts = jnp.cumsum(counts, dtype=I32) - counts   # sorted-order starts
+    if os.environ.get("SIFT_GROUP_ARGSORT") == "1":
+        # round-4 baseline, kept for A/B measurement
+        # (tools/refine_breakdown.py): bitonic argsort instead of the
+        # counting sort — identical stable order
+        perm = jnp.argsort(gkey, stable=True)
+        inv_perm = jnp.zeros((K,), I32).at[perm].set(
+            jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
+        counts = jnp.zeros((NSEG,), I32).at[gkey].add(1, mode="drop")
+        starts = jnp.cumsum(counts, dtype=I32) - counts
+    else:
+        # stable counting sort (no sort network): pos == inverse permutation
+        inv_perm, counts, starts = _stable_bucket_positions(gkey, NSEG)
+        perm = jnp.zeros((K,), I32).at[inv_perm].set(
+            jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
     is_virtual = (seg_ids % (NR + 1)) == NR
     padded = jnp.where(is_virtual, 0, -(-counts // bk) * bk)
     cum = jnp.cumsum(padded, dtype=I32)
