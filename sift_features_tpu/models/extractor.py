@@ -260,9 +260,9 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     levels 1-3 (possibly bf16, cfg.gather_dtype) consumed by the
     orientation/descriptor kernels instead of gauss_p."""
     from ..ops.extrema import rust_round
-    from ..ops.pallas.descriptor_kernel import descriptor_hist_bucketed
+    from ..ops.pallas.descriptor_kernel import descriptor_hist_masked
     from ..ops.pallas.extrema_kernel import extrema_words_batched
-    from ..ops.pallas.orientation_kernel import orientation_histograms_bucketed
+    from ..ops.pallas.orientation_kernel import orientation_histograms_masked
 
     B, n_dog = dog_p.shape[0], dog_p.shape[1]
     h, w = hw
@@ -330,11 +330,14 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
     gauss_flat = win_src.reshape(B * win_planes, hp, wp)
     poff_k2 = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, K2)
     live2 = svalid.reshape(-1)
-    hist, angles_p, n_pk = orientation_histograms_bucketed(
+    # mask-dispatched bucket kernels (round 5): no per-bucket compaction or
+    # restore machinery — measured ~32 ms/batch of pure XLA overhead at
+    # bench density (tools/window_breakdown.py); byte-equal outputs
+    hist, angles_p, n_pk = orientation_histograms_masked(
         gauss_flat, (s - 1).reshape(-1) + poff_k2, s.reshape(-1),
         y.reshape(-1), x.reshape(-1), kp_scale.reshape(-1),
-        jnp.sum(n_surv), h, w, P, cfg, interpret, live=live2,
-        with_peaks=True)
+        h, w, P, cfg, interpret, live=live2,
+        count=jnp.sum(n_surv), with_peaks=True)
 
     def emit_slow(_):
         # XLA peaks over the full (B*K2, 36) histograms — the reference
@@ -425,11 +428,11 @@ def _detect_octave_batched(gauss_p, dog_p, octave: int, cfg: SiftConfig, hw,
         return res
 
     poff_m = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * win_planes, M)
-    hist128 = descriptor_hist_bucketed(
+    hist128 = descriptor_hist_masked(
         gauss_flat, (kp_s - 1).reshape(-1) + poff_m, kp_s.reshape(-1),
         xi.reshape(-1), yi.reshape(-1), kp_sc.reshape(-1),
-        kp_angle.reshape(-1), jnp.sum(n_emit), h, w, P, cfg, interpret,
-        live=evalid.reshape(-1))
+        kp_angle.reshape(-1), h, w, P, cfg, interpret,
+        live=evalid.reshape(-1), count=jnp.sum(n_emit))
     res["desc"] = desc_ops.finalize_descriptor(hist128, cfg).reshape(B, M, -1)
     return res
 

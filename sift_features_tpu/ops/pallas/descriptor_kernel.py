@@ -358,3 +358,52 @@ def descriptor_hist_bucketed(gauss_padded, s_img, s_level, xi, yi, kp_scale,
         rank = jnp.cumsum(maskb.astype(jnp.int32)) - 1
         out = jnp.where(maskb[:, None], jnp.take(hb, rank, axis=0), out)
     return out
+
+
+def descriptor_hist_masked(gauss_padded, s_img, s_level, xi, yi, kp_scale,
+                           angle, h: int, w: int, pad: int,
+                           cfg: SiftConfig = DEFAULT_CONFIG,
+                           interpret: bool = False, live=None,
+                           count=None, chunk: int = 32768):
+    """Mask-dispatched scale-bucketed descriptor histograms (round 5).
+
+    Bit-equal outputs to descriptor_hist_bucketed with the per-bucket
+    compaction + rank/take/where restore machinery removed: each bucket's
+    packed kernel runs over the full lane range with a per-lane live flag
+    (live & s_level == si), skipping dead lanes' DMAs and dead group spans
+    (emissions arrive scan-ordered per frame, so bucket membership is
+    near-contiguous). Bucket outputs have disjoint non-zero rows and merge
+    by addition (exact). Measured motivation: the wrapper machinery cost
+    ~40 of the stage's 80.4 ms/batch at octave-0 bench density
+    (tools/window_breakdown.py, round 5).
+
+    Falls back to descriptor_hist_bucketed when a bucket cannot pack or
+    cfg.window_kernel != "packed"."""
+    from .descriptor_packed import descriptor_hist_packed_masked
+
+    radii = bucket_radii(cfg)
+    if (cfg.window_kernel != "packed"
+            or any(2 * r + 3 > LANES_DMA - 127 for r in radii.values())):
+        return descriptor_hist_bucketed(
+            gauss_padded, s_img, s_level, xi, yi, kp_scale, angle, count,
+            h, w, pad, cfg, interpret, live=live, chunk=chunk)
+
+    M = s_img.shape[0]
+    if live is None:
+        live = jnp.arange(M, dtype=jnp.int32) < count
+    out = jnp.zeros((M, cfg.descriptor_size), F32)
+    CHUNK = chunk
+    for si, r_max in radii.items():
+        live_b = live & (s_level == si)
+
+        def run(sl):
+            return descriptor_hist_packed_masked(
+                gauss_padded, s_img[sl], xi[sl], yi[sl], kp_scale[sl],
+                angle[sl], live_b[sl], h, w, pad, cfg, interpret, r_max)
+
+        sls = [slice(c0, min(c0 + CHUNK, M)) for c0 in range(0, M, CHUNK)]
+        parts = [run(sl) for sl in sls]
+        hb = (parts[0] if len(parts) == 1
+              else jnp.concatenate(parts, axis=0))
+        out = out + hb
+    return out

@@ -71,10 +71,19 @@ def pack_layout(r_max: int):
     return 2, 2 * LANES, LANES
 
 
-def _kernel(count_ref, s_ref, y_ref, x_ref,
-            scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem, *,
-            n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max, p, stride,
-            BK, kpad, al=8, lanes_p=LANES):
+def _kernel(*refs, n_hist, n_bins, lambda_descr, h, w, pad, w_pad, r_max,
+            p, stride, BK, kpad, al=8, lanes_p=LANES, masked=False):
+    """masked=False: liveness is the `count` prefix (compacted-input mode).
+    masked=True: refs carry (live, glo, ghi) scalar prefetches instead of
+    count — per-lane liveness, [glo, ghi) group spans per block, dead-lane
+    DMA skip (see orientation_packed._kernel; same scheme, byte-equal
+    per-keypoint results)."""
+    if masked:
+        (live_ref, glo_ref, ghi_ref, s_ref, y_ref, x_ref,
+         scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem) = refs
+    else:
+        (count_ref, s_ref, y_ref, x_ref,
+         scale_blk, angle_blk, gauss_hbm, hist_ref, win_ref, sem) = refs
     blk = pl.program_id(0)
     base = blk * BK
     wn = 2 * r_max + 3
@@ -137,26 +146,54 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             sem.at[slot, j, 1])
         return c1, c2, need2
 
+    def is_live(g, j):
+        if masked:
+            return live_ref[cand(g, j)] > 0
+        return base + g * p + j < count
+
     def dma_start_group(slot, g):
         for j in range(p):
             c1, c2, need2 = copies(slot, g, j)
-            c1.start()
+            if masked:
+                @pl.when(is_live(g, j))
+                def _(c1=c1, c2=c2, need2=need2):
+                    c1.start()
 
-            @pl.when(need2)
-            def _():
-                c2.start()
+                    @pl.when(need2)
+                    def _():
+                        c2.start()
+            else:
+                c1.start()
+
+                @pl.when(need2)
+                def _():
+                    c2.start()
 
     def dma_wait_group(slot, g):
         for j in range(p):
             c1, c2, need2 = copies(slot, g, j)
-            c1.wait()
+            if masked:
+                @pl.when(is_live(g, j))
+                def _(c1=c1, c2=c2, need2=need2):
+                    c1.wait()
 
-            @pl.when(need2)
-            def _():
-                c2.wait()
+                    @pl.when(need2)
+                    def _():
+                        c2.wait()
+            else:
+                c1.wait()
 
-    count = count_ref[0]
-    n_act = jnp.clip(-(-(count - base) // p), 0, n_groups)
+                @pl.when(need2)
+                def _():
+                    c2.wait()
+
+    if masked:
+        lo = glo_ref[blk]
+        hi = ghi_ref[blk]
+    else:
+        count = count_ref[0]
+        lo = jnp.int32(0)
+        hi = jnp.clip(-(-(count - base) // p), 0, n_groups)
 
     def compute_group(slot, g, O):
         packed = jnp.zeros((subl, lanes_p), F32)
@@ -196,7 +233,7 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             ori_v = ori_v + jnp.where(gm, pick(orientation_row), F32(0.0))
             yi_v = yi_v + jnp.where(gm, y_ref[i], 0)
             xi_v = xi_v + jnp.where(gm, x_ref[i], 0)
-            live_v = live_v | (gm & (base + g * p + j < count))
+            live_v = live_v | (gm & is_live(g, j))
 
         rows_c = packed[1:1 + n, :]
         gx = (pltpu.roll(rows_c, lanes_p - 1, axis=1)
@@ -274,33 +311,33 @@ def _kernel(count_ref, s_ref, y_ref, x_ref,
             O = O + jnp.where(lane_bk == g * p + j, col, F32(0.0))
         return O
 
-    @pl.when(n_act > 0)
+    @pl.when(hi > lo)
     def _():
-        dma_start_group(0, 0)
+        dma_start_group(0, lo)
 
     def body(t, O):
-        g0 = 2 * t
-        g1 = 2 * t + 1
+        g0 = lo + 2 * t
+        g1 = g0 + 1
 
-        @pl.when(g1 < n_act)
+        @pl.when(g1 < hi)
         def _():
             dma_start_group(1, g1)
 
         dma_wait_group(0, g0)
         O = compute_group(0, g0, O)
 
-        @pl.when(g1 + 1 < n_act)
+        @pl.when(g1 + 1 < hi)
         def _():
             dma_start_group(0, g1 + 1)
 
-        @pl.when(g1 < n_act)
+        @pl.when(g1 < hi)
         def _():
             dma_wait_group(1, g1)
 
-        O = jnp.where(g1 < n_act, compute_group(1, g1, O), O)
+        O = jnp.where(g1 < hi, compute_group(1, g1, O), O)
         return O
 
-    O = jax.lax.fori_loop(0, -(-n_act // 2),
+    O = jax.lax.fori_loop(0, -(-(hi - lo) // 2),
                           body, jnp.zeros((D, BK), F32))
     hist_ref[:, :] = O
 
@@ -354,6 +391,73 @@ def descriptor_hist_packed(gauss_padded, s, xi, yi, kp_scale, angle, count,
         out_shape=jax.ShapeDtypeStruct((D, nb * bk), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(count, jnp.int32).reshape(1),
+      pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
+      pad1(jnp.clip(yi, 0, h - 1)).astype(jnp.int32),
+      pad1(jnp.clip(xi, 0, w - 1)).astype(jnp.int32),
+      pad1(kp_scale).reshape(nb, bk), pad1(angle).reshape(nb, bk),
+      gauss_padded)
+    return hist_t.T[:M]
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def descriptor_hist_packed_masked(gauss_padded, s, xi, yi, kp_scale, angle,
+                                  live, h: int, w: int, pad: int,
+                                  cfg: SiftConfig = DEFAULT_CONFIG,
+                                  interpret: bool = False,
+                                  r_max: int = 30):
+    """descriptor_hist_packed with ARBITRARY per-lane liveness instead of a
+    compacted count prefix (round 5 — see
+    orientation_packed.orientation_histograms_packed_masked; same scheme).
+    Dead lanes produce all-zero histogram rows and skip their window DMA."""
+    M = s.shape[0]
+    al = 16 if gauss_padded.dtype == jnp.bfloat16 else 8
+    bk = BK_INTERPRET if interpret else BK
+    nb = -(-M // bk)
+    padn = nb * bk - M
+
+    def pad1(a):
+        return jnp.pad(a, (0, padn))
+
+    D = cfg.descriptor_size
+    p, lanes_p, stride = pack_layout(r_max)
+    n_groups = -(-bk // p)
+
+    livei = pad1(jnp.asarray(live, jnp.int32))
+    g_of_lane = (jnp.arange(bk, dtype=jnp.int32) // p)[None, :]
+    lv2 = livei.reshape(nb, bk)
+    glo = jnp.min(jnp.where(lv2 > 0, g_of_lane, n_groups), axis=1)
+    ghi = jnp.max(jnp.where(lv2 > 0, g_of_lane + 1, 0), axis=1)
+    glo = jnp.minimum(glo, ghi)
+
+    kernel = functools.partial(
+        _kernel, n_hist=cfg.descriptor_n_histograms,
+        n_bins=cfg.descriptor_n_bins, lambda_descr=cfg.lambda_descr,
+        h=h, w=w, pad=pad, w_pad=gauss_padded.shape[2], r_max=r_max,
+        p=p, stride=stride, BK=bk, kpad=nb * bk, al=al, lanes_p=lanes_p,
+        masked=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,   # live, glo, ghi, s, y, x
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # kp_scale (nb,BK)
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # angle (nb,BK)
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((D, bk), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * _subl(2 * r_max + 3, al), p * LANES_DMA),
+                       gauss_padded.dtype),
+            pltpu.SemaphoreType.DMA((2, p, 2)),
+        ],
+    )
+
+    hist_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, nb * bk), jnp.float32),
+        interpret=interpret,
+    )(livei,
+      glo.astype(jnp.int32), ghi.astype(jnp.int32),
       pad1(jnp.clip(s, 0, gauss_padded.shape[0] - 1)).astype(jnp.int32),
       pad1(jnp.clip(yi, 0, h - 1)).astype(jnp.int32),
       pad1(jnp.clip(xi, 0, w - 1)).astype(jnp.int32),

@@ -338,3 +338,72 @@ def orientation_histograms_bucketed(gauss_padded, s_img, s_level, y, x,
     if not peaks_ok:
         return hist, None, None
     return hist, out_ang, out_npk
+
+
+def orientation_histograms_masked(gauss_padded, s_img, s_level, y, x,
+                                  kp_scale, h: int, w: int, pad: int,
+                                  cfg: SiftConfig = DEFAULT_CONFIG,
+                                  interpret: bool = False, live=None,
+                                  count=None, chunk: int = 32768,
+                                  with_peaks: bool = False):
+    """Mask-dispatched scale-bucketed orientation histograms (round 5).
+
+    Bit-equal outputs to orientation_histograms_bucketed, with the
+    per-bucket compaction + rank/take/where restore machinery REMOVED: each
+    bucket's packed kernel runs over the full lane range with a per-lane
+    live flag (live & s_level == si), skipping dead lanes' DMAs and dead
+    group spans per block (survivors arrive scan-ordered, so s_level is
+    sorted per frame and bucket membership is near-contiguous — the spans
+    are tight). Bucket outputs have disjoint non-zero lanes and merge by
+    addition (exact). Measured motivation: the wrapper machinery cost ~32
+    of the stage's 42.6 ms/batch at octave-0 bench density
+    (tools/window_breakdown.py, round 5).
+
+    Falls back to orientation_histograms_bucketed when any bucket cannot
+    lane-pack or cfg.window_kernel != "packed"."""
+    from .descriptor_packed import pack_p
+    from .orientation_packed import (N_PEAKS_CAP,
+                                     orientation_histograms_packed_masked)
+
+    radii = bucket_radii_ori(cfg)
+    if (cfg.window_kernel != "packed"
+            or any(pack_p(r) < 2 for r in radii.values())):
+        return orientation_histograms_bucketed(
+            gauss_padded, s_img, s_level, y, x, kp_scale, count, h, w, pad,
+            cfg, interpret, live=live, chunk=chunk, with_peaks=with_peaks)
+
+    K = s_img.shape[0]
+    if live is None:
+        live = jnp.arange(K, dtype=jnp.int32) < count
+    n_bins = cfg.n_orientation_bins
+    out = jnp.zeros((K, n_bins), F32)
+    out_ang = jnp.zeros((K, N_PEAKS_CAP), F32)
+    out_npk = jnp.zeros((K,), jnp.int32)
+    CHUNK = chunk
+    for si, r_max in radii.items():
+        live_b = live & (s_level == si)
+
+        def run(sl):
+            return orientation_histograms_packed_masked(
+                gauss_padded, s_img[sl], y[sl], x[sl], kp_scale[sl],
+                live_b[sl], h, w, pad, cfg, interpret, r_max, False,
+                with_peaks)
+
+        sls = [slice(c0, min(c0 + CHUNK, K)) for c0 in range(0, K, CHUNK)]
+        parts = [run(sl) for sl in sls]
+        if not with_peaks:
+            parts = [(pp,) for pp in parts]
+        hb = (parts[0][0] if len(parts) == 1
+              else jnp.concatenate([pp[0] for pp in parts], axis=0))
+        out = out + hb
+        if with_peaks:
+            ab = (parts[0][1] if len(parts) == 1
+                  else jnp.concatenate([pp[1] for pp in parts], axis=0))
+            nb_ = (parts[0][2] if len(parts) == 1
+                   else jnp.concatenate([pp[2] for pp in parts], axis=0))
+            out_ang = out_ang + ab
+            out_npk = out_npk + nb_
+    hist = _smooth(out)
+    if not with_peaks:
+        return hist
+    return hist, out_ang, out_npk

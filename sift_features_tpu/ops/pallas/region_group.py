@@ -289,7 +289,16 @@ def merge_escaped_compact(rows, valid, run_fallback, gather_args, e_cap: int):
         fb = run_fallback(gather_args, escaped)
         return tuple(jnp.where(escaped, fb[k], res[k]) for k in keys)
 
-    out = jax.lax.cond(ecount <= e_cap, compact_path, full_path, None)
+    def no_escape_path(_):
+        # zero escapes (the norm on the small octaves): the fallback's 5
+        # per-step launches + XLA glue are pure overhead — skip them
+        # entirely; merged output is res verbatim (round 5)
+        return tuple(res[k] for k in keys)
+
+    out = jax.lax.cond(
+        ecount == 0, no_escape_path,
+        lambda _: jax.lax.cond(ecount <= e_cap, compact_path, full_path,
+                               None), None)
     merged = dict(zip(keys, out))
     merged["n_escaped"] = ecount   # observability + stress-test hook
     return merged

@@ -836,3 +836,121 @@ def test_peaks_overflow_fallback_matches_fast_path(bird_small_cv2):
                                   np.asarray(r_slow["desc"])[v])
     np.testing.assert_array_equal(np.asarray(r_fast["n_emitted"]),
                                   np.asarray(r_slow["n_emitted"]))
+
+
+@pytest.mark.slow
+def test_detect_octave_split_storage_detection_set(bird_small_cv2):
+    """e2e split-storage parity through the real batched detection path
+    (VERDICT r4 task 1): with storage_dtype="split" the fused pyramid
+    stores the Gaussian stack bf16 but the DoG f32 from the unrounded
+    chain, so the DETECTED (x, y, size, response) set must be
+    byte-identical to the f32 run — only orientation-peak emission
+    multiplicities may flip (window reads are bf16). Hardware twin:
+    tools/check_split_detection.py (TPU run recorded in BENCH.md r5)."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.models.extractor import _detect_octave_batched
+    from sift_features_tpu.ops import descriptor as desc_ops
+    from sift_features_tpu.ops import pyramid as pyr_ops
+    from sift_features_tpu.ops.pallas.pyramid_kernel import (
+        build_octave_fused, reflect_pad_image)
+
+    cfg = DEFAULT_CONFIG
+    img = bird_small_cv2[:96, :128]
+    seed = pyr_ops.create_seed_image(jnp.asarray(img)[None], cfg)
+    P = desc_ops.PAD_DESC
+    h, w = seed.shape[1], seed.shape[2]
+    h_pad = -(-(h + 2 * P) // 128) * 128
+    w_pad = -(-(w + 2 * P) // 128) * 128
+    base = jax.vmap(lambda im: reflect_pad_image(
+        im, P, w_pad - w - 2 * P, h_pad - h - 2 * P))(seed)
+    g32, d32, _, _ = build_octave_fused(base, cfg, interpret=True)
+    gsp, dsp, _, l3 = build_octave_fused(base, cfg, interpret=True,
+                                         split=True)
+    # split DoG is byte-equal (the chain never rounds); gauss stored bf16
+    np.testing.assert_array_equal(np.asarray(d32), np.asarray(dsp))
+    assert gsp.dtype == jnp.bfloat16 and l3.dtype == jnp.float32
+
+    r32 = _detect_octave_batched(g32, d32, 0, cfg, (h, w), interpret=True)
+    rsp = _detect_octave_batched(gsp, dsp, 0, cfg, (h, w), interpret=True)
+
+    def detection_set(r):
+        kps = np.asarray(r["kps"])[np.asarray(r["valid"])]
+        return {tuple(v.tobytes() for v in row)
+                for row in kps[:, [0, 1, 2, 4]].astype(np.float32)}
+
+    a, b = detection_set(r32), detection_set(rsp)
+    assert len(a) > 3
+    assert a == b, (len(a - b), len(b - a))
+
+
+@pytest.fixture(scope="module")
+def masked_case():
+    """Scattered-liveness multi-bucket case for the round-5 mask-dispatched
+    window wrappers: 3 scale levels interleaved, live mask NOT a prefix."""
+    rng = np.random.RandomState(5)
+    h, w = 96, 128
+    gauss = rng.rand(6, h, w).astype(np.float32)
+    gp = np.asarray(desc_ops.pad_stack_for_kernels(jnp.asarray(gauss)))
+    K = 300                      # > BK_INTERPRET: multi-block spans
+    s_level = np.sort(rng.randint(1, 4, K)).astype(np.int32)
+    # scattered dead lanes (≈25%) — the masked path's whole point
+    live = rng.rand(K) > 0.25
+    lo = np.array([0.0, 1.6, 2.26, 2.85])[s_level]
+    hi = np.array([0.0, 2.26, 2.85, 3.59])[s_level]
+    ks = (lo + (hi - lo) * rng.rand(K)).astype(np.float32)
+    y = rng.randint(8, h - 8, K).astype(np.int32)
+    x = rng.randint(8, w - 8, K).astype(np.int32)
+    s_img = np.clip(s_level, 0, 5).astype(np.int32)
+    return gp, s_img, s_level, y, x, ks, live, h, w
+
+
+@pytest.mark.mid
+def test_orientation_masked_matches_bucketed(masked_case):
+    """Round-5 mask-dispatched orientation wrapper == the compacting
+    bucketed wrapper, byte-for-byte (hist + in-kernel peaks), on scattered
+    liveness across all three scale buckets."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.ops.pallas.orientation_kernel import (
+        orientation_histograms_bucketed, orientation_histograms_masked)
+
+    gp, s_img, s_level, y, x, ks, live, h, w = masked_case
+    cfg = DEFAULT_CONFIG
+    args = (jnp.asarray(gp), jnp.asarray(s_img), jnp.asarray(s_level),
+            jnp.asarray(y), jnp.asarray(x), jnp.asarray(ks))
+    hb, ab, nb = orientation_histograms_bucketed(
+        *args, None, h, w, desc_ops.PAD_DESC, cfg, interpret=True,
+        live=jnp.asarray(live), with_peaks=True)
+    hm, am, nm = orientation_histograms_masked(
+        *args, h, w, desc_ops.PAD_DESC, cfg, interpret=True,
+        live=jnp.asarray(live), with_peaks=True)
+    np.testing.assert_array_equal(np.asarray(hb)[live], np.asarray(hm)[live])
+    np.testing.assert_array_equal(np.asarray(ab)[live], np.asarray(am)[live])
+    np.testing.assert_array_equal(np.asarray(nb)[live], np.asarray(nm)[live])
+    # dead lanes are all-zero on the masked path
+    assert (np.asarray(hm)[~live] == 0).all()
+    assert (np.asarray(nm)[~live] == 0).all()
+
+
+@pytest.mark.mid
+def test_descriptor_masked_matches_bucketed(masked_case):
+    """Round-5 mask-dispatched descriptor wrapper == the compacting
+    bucketed wrapper, byte-for-byte, on scattered liveness."""
+    from sift_features_tpu.config import DEFAULT_CONFIG
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_bucketed, descriptor_hist_masked)
+
+    gp, s_img, s_level, y, x, ks, live, h, w = masked_case
+    rng = np.random.RandomState(6)
+    ang = (rng.rand(len(s_img)) * 360.0).astype(np.float32)
+    cfg = DEFAULT_CONFIG
+    args = (jnp.asarray(gp), jnp.asarray(s_img), jnp.asarray(s_level),
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(ks),
+            jnp.asarray(ang))
+    hb = descriptor_hist_bucketed(
+        *args, None, h, w, desc_ops.PAD_DESC, cfg, interpret=True,
+        live=jnp.asarray(live))
+    hm = descriptor_hist_masked(
+        *args, h, w, desc_ops.PAD_DESC, cfg, interpret=True,
+        live=jnp.asarray(live))
+    np.testing.assert_array_equal(np.asarray(hb)[live], np.asarray(hm)[live])
+    assert (np.asarray(hm)[~live] == 0).all()

@@ -160,6 +160,22 @@ def main():
                                         h, w, P, cfg_pk, live=lv)))
     timed("ori_perkey", ori_pk, gauss_flat, s_img, s_lvl, yf, xf, scf, live2)
 
+    # round-5 mask-dispatched wrapper (no compaction/restore machinery)
+    from sift_features_tpu.ops.pallas.orientation_kernel import (
+        orientation_histograms_masked)
+
+    ori_m = jax.jit(lambda gf, si, sl, yy, xx, sc, lv: (
+        orientation_histograms_masked(gf, si, sl, yy, xx, sc,
+                                      h, w, P, cfg, live=lv)))
+    hist_m = timed("ori_masked", ori_m, gauss_flat, s_img, s_lvl, yf, xf,
+                   scf, live2)
+    timed("ori_mask0", ori_m, gauss_flat, s_img, s_lvl, yf, xf, scf,
+          jnp.zeros_like(live2))
+    lv_np = np.asarray(live2)
+    print("  ori masked == bucketed:",
+          bool(np.array_equal(np.asarray(hist_m)[lv_np],
+                              np.asarray(hist)[lv_np])), flush=True)
+
     # ---- peaks + emission compaction + gathers (the XLA tail) ----
     @jax.jit
     def peaks(hist, svalid, y, x, off_y, off_x, kp_scale, resp, s):
@@ -210,6 +226,21 @@ def main():
                                  h, w, P, cfg_pk, live=lv)))
     timed("desc_perkey", desc_pk, gauss_flat, sm_img, sm_lvl, xim, yim,
           scm, angm, livem)
+
+    from sift_features_tpu.ops.pallas.descriptor_kernel import (
+        descriptor_hist_masked)
+
+    desc_m = jax.jit(lambda gf, si, sl, xx, yy, sc, an, lv: (
+        descriptor_hist_masked(gf, si, sl, xx, yy, sc, an,
+                               h, w, P, cfg, live=lv)))
+    h128_m = timed("desc_masked", desc_m, gauss_flat, sm_img, sm_lvl, xim,
+                   yim, scm, angm, livem)
+    timed("desc_mask0", desc_m, gauss_flat, sm_img, sm_lvl, xim, yim,
+          scm, angm, jnp.zeros_like(livem))
+    lvm_np = np.asarray(livem)
+    print("  desc masked == bucketed:",
+          bool(np.array_equal(np.asarray(h128_m)[lvm_np],
+                              np.asarray(h128)[lvm_np])), flush=True)
 
     fin = jax.jit(lambda hh: desc_ops.finalize_descriptor(hh, cfg))
     timed("final", fin, h128)
