@@ -504,7 +504,12 @@ def _extract_batch_fused(imgs_u8: jnp.ndarray, n_octaves: int,
                                               interpret=interpret))
             sp = cfg.scales_per_octave
             nxt = l3 if l3 is not None else g[:, sp - 1]
-            initial = nxt[:, P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
+            # ½-downsample as TWO single-axis strided slices: the fused
+            # rows+lanes stride-2 slice lowers to an index-vector gather
+            # that costs 35+ ms/batch at octave 0 on this chip; slicing
+            # sublanes then lanes lowers to strided copies (7x faster,
+            # byte-equal — tools/slice_experiment.py)
+            initial = nxt[:, P:P + (h // 2) * 2:2, :][:, :, P:P + (w // 2) * 2:2]
         else:
             # tiny top octaves: per-frame XLA fallback (Pallas kernels must
             # not run under lax.map's batching here anyway)
@@ -645,7 +650,8 @@ def _extract_single(img_u8: jnp.ndarray, n_octaves: int, cfg: SiftConfig):
             # next octave base: NN 1/2 downsample of Gaussian level S
             # (slot S-1), interior only (lib.rs:245-248)
             s_img = g_slots[cfg.scales_per_octave - 1]
-            initial = s_img[P:P + (h // 2) * 2:2, P:P + (w // 2) * 2:2]
+            # two single-axis strided slices (see the batched path's note)
+            initial = s_img[P:P + (h // 2) * 2:2, :][:, P:P + (w // 2) * 2:2]
         else:
             imgs = [initial]
             for sig in sigmas[1:]:

@@ -47,9 +47,12 @@ def resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 def resize_nearest_half(img: jnp.ndarray) -> jnp.ndarray:
     """Exact-1/2 INTER_NEAREST downsample == stride-2 slice (lib.rs:247's
-    resize_nearest(w/2, h/2); verified bit-equal to cv2.INTER_NEAREST)."""
+    resize_nearest(w/2, h/2); verified bit-equal to cv2.INTER_NEAREST).
+    Written as TWO single-axis strided slices: the fused rows+lanes slice
+    lowers to an index-vector gather on TPU (35+ ms/batch at octave 0,
+    tools/slice_experiment.py); per-axis slices lower to strided copies."""
     h, w = img.shape[-2], img.shape[-1]
-    return img[..., : (h // 2) * 2 : 2, : (w // 2) * 2 : 2]
+    return img[..., : (h // 2) * 2 : 2, :][..., :, : (w // 2) * 2 : 2]
 
 
 def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -23,27 +23,69 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def compact_words(words: jnp.ndarray, capacity: int):
+def compact_words(words: jnp.ndarray, capacity: int, chunk: int = 64):
     """Compaction over a BIT-PACKED mask: words (nw,) int32, bit j of word w
-    = mask element 32w + j. Locates each output slot's word by binary search
-    over the word-popcount prefix and its bit by a 32-wide in-register scan
-    — every pass touches the 32x-compressed word array only. Same contract
-    as compact_indices (row-major order, 0-fill, true count)."""
+    = mask element 32w + j. Same contract as compact_indices (row-major
+    order, 0-fill, true count).
+
+    Round-5 rewrite: the round-2 version (jnp.searchsorted over the word
+    prefix + a 32-wide in-register bit scan) was the single hottest op
+    class in the whole pipeline on the dev chip — the octave-0 candidate
+    compaction alone cost ~56 ms/batch (device trace, tools/trace_profile):
+    searchsorted lowers to a ~20-step while loop whose per-step (capacity,)
+    gather from the multi-MB prefix table costs ~1.4 ms, and the (capacity,
+    32) bit expansion another ~28 ms. This version finds each slot's word
+    in two levels — a scatter-free 'bump histogram' of CHUNK-level prefix
+    values locates the chunk (cumsum of nc boundary marks, no search), and
+    a log2(chunk)-step in-chunk bisection needs only 6 more prefix gathers
+    — and selects the bit by a 5-step popcount-halving (select-bit-by-rank)
+    instead of the 32-lane scan. Identical outputs, ~4x fewer big-table
+    gathers."""
     nw = words.shape[0]
     pc = jax.lax.population_count(words)
     prefix = jnp.cumsum(pc, dtype=jnp.int32)           # inclusive
     count = prefix[-1]
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    wi = jnp.searchsorted(prefix, slots, side="right").astype(jnp.int32)
+
+    # --- level 1: chunk per slot, scatter-free searchsorted equivalent ---
+    # ci[slot] = #{c : cpre[c] <= slot} == searchsorted(cpre, slot, 'right')
+    nc = -(-nw // chunk)
+    csum = jnp.sum(jnp.pad(pc, (0, nc * chunk - nw)).reshape(nc, chunk),
+                   axis=1, dtype=jnp.int32)
+    cpre = jnp.cumsum(csum, dtype=jnp.int32)           # inclusive
+    bump = jnp.zeros((capacity + 1,), jnp.int32).at[
+        jnp.clip(cpre, 0, capacity)].add(1, mode="drop")
+    ci = jnp.cumsum(bump, dtype=jnp.int32)[:capacity]
+    ci = jnp.minimum(ci, nc - 1)
+    prev = jnp.where(ci > 0, cpre[jnp.maximum(ci - 1, 0)], 0)
+
+    # --- level 2: word within chunk, log2(chunk)-step bisection over the
+    # word prefix; `prev` tracks prefix[wi-1] so no extra gather is needed
+    wi = ci * chunk
+    step = chunk
+    while step > 1:
+        step //= 2
+        probe = jnp.minimum(wi + step - 1, nw - 1)
+        pv = prefix[probe]
+        go = pv <= slots
+        wi = jnp.where(go, wi + step, wi)
+        prev = jnp.where(go, pv, prev)
     wi = jnp.minimum(wi, nw - 1)
-    prev = jnp.where(wi > 0, prefix[jnp.maximum(wi - 1, 0)], 0)
     rank = slots - prev                                # rank within word
+
+    # --- bit within word: select-bit-by-rank via popcount halving ---
     w = words[wi]                                      # (capacity,)
-    b = ((w[:, None] >> jnp.arange(32, dtype=jnp.int32)[None, :]) & 1)
-    cpos = jnp.cumsum(b, axis=1, dtype=jnp.int32)
-    hit = (b > 0) & (cpos == rank[:, None] + 1)
-    j = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    j = jnp.zeros_like(slots)
+    r = rank
+    width = 32
+    while width > 1:
+        width //= 2
+        lowmask = ((jnp.int32(1) << width) - 1) << j
+        c = jax.lax.population_count(w & lowmask)
+        go = r >= c
+        j = jnp.where(go, j + width, j)
+        r = jnp.where(go, r - c, r)
     idx = wi * 32 + j
     valid = slots < jnp.minimum(count, capacity)
     return jnp.where(valid, idx, 0), valid, count
