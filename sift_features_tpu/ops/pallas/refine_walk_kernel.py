@@ -55,6 +55,14 @@ from .refine_tile_kernel import _newton_cols
 F32 = jnp.float32
 I32 = jnp.int32
 BK = 32          # candidates per grid block (one region per block)
+# Region geometry: 32x256 regions / 48x512 windows. Round 5 A/B-tested
+# 64x512 regions (80x768 windows; ~40% less window DMA + dense-solve area)
+# and measured it SLOWER end-to-end (10.2 vs 10.72 fps): the walk phase's
+# per-block one-hot field lookups scale with bank rows x window lanes
+# ((240,768) vs (144,512) contractions, ~2.5x per lookup), which eats the
+# DMA/dense savings. Results are byte-identical under any geometry (same
+# field values; escapes only shift between in-window and fallback, both
+# exact), so this stays a pure perf knob.
 REG_R = 32       # region rows
 REG_C = 256      # region lanes
 WIN_R = 48       # window rows  = region + 8-aligned +-7 walk margin
@@ -314,6 +322,11 @@ def _refine_walk_call(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * BK, 16), jnp.float32),
         interpret=interpret,
+        # headroom over the default 16 MB scoped-vmem limit so region-
+        # geometry experiments compile (same raise as the fused pyramid
+        # kernel, pyramid_kernel.py:433-435); the shipped 32x256 geometry
+        # needs ~3.5 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(blk_active, blk_load, blk_r0, blk_c0, blk_pb,
       blk_par, blk_first, nxt_r0, nxt_c0, nxt_pb, nxt_has,
       s, y, x, act, dog_flat)
