@@ -56,16 +56,28 @@ def pack_p(r_max: int) -> int:
 def pack_layout(r_max: int):
     """(p, lanes_p, stride) for this bucket radius: p windows per lanes_p
     packed lanes. Buckets whose window fits twice in 128 lanes pack within
-    one register row (lanes_p = 128); wider windows (wn <= 129, e.g. the
-    default config's s=3 descriptor bucket, wn = 79) pack p = 2 across a
-    256-lane double register at stride 128 — the elementwise math runs at
-    2x register width serving 2 keypoints, and the 128 bin reductions
-    amortize over both (round 4; previously s=3 fell back to the
-    per-keypoint kernel and dominated the descriptor stage)."""
+    one register row (lanes_p = 128); wider windows (wn <= 129) pack across
+    a 256-lane double register — the elementwise math runs at 2x register
+    width serving p keypoints, and the 128 bin reductions amortize over all
+    of them.
+
+    Round 5: the 256-lane register is also used whenever it packs STRICTLY
+    more keypoints per lane than two 128-lane rows would — the default
+    config's s=1 bucket (wn = 51) packs 5/256 instead of 2/128 (lane
+    utilization 99.6% vs 80%), and s=3 (wn = 79) packs 3/256 instead of
+    2/256. Byte-exactness is preserved for any (p, lanes_p, stride): each
+    window is rolled to its lane-group start before the reduction, and the
+    lanes beyond the window hold exact zeros, so the f32 reduction tree
+    pairs the window's values identically to the per-keypoint kernel
+    (verified by the packed==per-keypoint equality tests)."""
     wn = 2 * r_max + 3
-    p = LANES // wn
-    if p >= 2:
-        return p, LANES, LANES // p
+    p1 = LANES // wn
+    p2 = LANES_DMA // wn
+    if p2 > 2 * p1:
+        # 256-lane pack is strictly denser per lane
+        return p2, LANES_DMA, LANES_DMA // p2
+    if p1 >= 2:
+        return p1, LANES, LANES // p1
     assert wn <= LANES_DMA - 127, (
         f"window {wn} cannot shift-align inside a {LANES_DMA}-lane DMA")
     return 2, 2 * LANES, LANES

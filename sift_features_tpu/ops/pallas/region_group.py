@@ -22,15 +22,14 @@ block-granular:
     of three K-table gathers.
 Measured 56 -> ~13 ms/batch (131072 lanes), byte-identical layout.
 
-Round-5 rewrite: the remaining argsort (a K·log²K bitonic sort — 131072
-lanes at octave-0 bench density) is replaced by a two-level stable
-COUNTING sort (_stable_bucket_positions): candidates chunk into L-lane
-blocks, a per-chunk key histogram + exclusive chunk-prefix gives each
-(chunk, key) its global base, and a strict-lower-triangular equality count
-gives the within-chunk rank — pos = starts[key] + chunk_base + rank, the
-exact inverse permutation of argsort(gkey, stable=True). O(K·L) VPU
-compares + one K-lane scatter-add instead of the sort network; layout
-stays byte-identical.
+Round 5: a two-level stable counting sort (_stable_bucket_positions) was
+built to replace the argsort, but the phase microbenches that motivated it
+were DISPATCH-poisoned (tools/dispatch_calib.py: in-graph argsort of 131k
+lanes costs ~0.05 ms; a lone dispatch carries 3-6 ms of tunnel overhead),
+and the in-pipeline A/B showed the argsort path faster (10.84 vs 10.72
+fps). The argsort path is the default again; the counting sort is kept
+behind SIFT_GROUP_CSORT=1 as the measured record. Slot layout is
+byte-identical either way.
 """
 
 from __future__ import annotations
@@ -136,20 +135,24 @@ def group_by_region(s0, y0, x0, valid, pad: int, Hp: int, Wp: int,
 
     import os
 
-    if os.environ.get("SIFT_GROUP_ARGSORT") == "1":
-        # round-4 baseline, kept for A/B measurement
-        # (tools/refine_breakdown.py): bitonic argsort instead of the
-        # counting sort — identical stable order
+    if os.environ.get("SIFT_GROUP_CSORT") == "1":
+        # round-5 counting-sort experiment, kept for A/B measurement only:
+        # its phase-level microbenches looked favorable but were DISPATCH-
+        # poisoned (tools/dispatch_calib.py: a lone dispatch carries 3-6 ms
+        # of tunnel overhead while an in-graph 131k argsort costs ~0.05 ms);
+        # in-pipeline the argsort path benches faster (10.84 vs 10.72 fps,
+        # round-5 A/B). Identical stable order either way.
+        inv_perm, counts, starts = _stable_bucket_positions(gkey, NSEG)
+        perm = jnp.zeros((K,), I32).at[inv_perm].set(
+            jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
+    else:
+        # default: bitonic argsort (in-graph ~0.05 ms at octave-0 density)
+        # + unique-index scatter inverse
         perm = jnp.argsort(gkey, stable=True)
         inv_perm = jnp.zeros((K,), I32).at[perm].set(
             jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
         counts = jnp.zeros((NSEG,), I32).at[gkey].add(1, mode="drop")
         starts = jnp.cumsum(counts, dtype=I32) - counts
-    else:
-        # stable counting sort (no sort network): pos == inverse permutation
-        inv_perm, counts, starts = _stable_bucket_positions(gkey, NSEG)
-        perm = jnp.zeros((K,), I32).at[inv_perm].set(
-            jnp.arange(K, dtype=I32), unique_indices=True, mode="drop")
     is_virtual = (seg_ids % (NR + 1)) == NR
     padded = jnp.where(is_virtual, 0, -(-counts // bk) * bk)
     cum = jnp.cumsum(padded, dtype=I32)
