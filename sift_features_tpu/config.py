@@ -72,12 +72,19 @@ class SiftConfig:
     # refinement's central-difference Hessians (measured round 2: large
     # keypoint losses); deltas are tabled in BENCH.md. Tile-grouped
     # refinement requires f32, so this mode takes the per-step refine path.
-    # "split" (round 4, VERDICT task 4) stores only the GAUSSIAN stack bf16
-    # (blur-chain re-reads + orientation/descriptor windows) and keeps the
-    # DoG f32 from the unrounded f32 tap sums — what refinement READS is
-    # never quantized (Hessians come from DoG only), so the detection-side
-    # perturbation is limited to the bf16 rounding of the chain inputs;
-    # walk/tile refinement stays available. Deltas in BENCH.md.
+    # "split" (round 4 design, round 5 proof) stores only the GAUSSIAN
+    # stack bf16 (orientation/descriptor windows) and keeps the DoG f32
+    # from the unrounded in-VMEM f32 chain — everything DETECTION reads is
+    # bit-exact vs f32 (proven on TPU: identical unique (x,y,size,response)
+    # sets on bird_small AND tree_small, tools/check_split_detection.py;
+    # e2e interpret test test_detect_octave_split_storage_detection_set).
+    # Only orientation-peak emission multiplicities flip (bf16 windows:
+    # 2/194 resp. 34/1035 positions) and descriptor bytes drift. Round-5
+    # bench: 10.66 vs 10.72 fps — NO throughput win on this chip (the
+    # fused kernel already keeps the chain in VMEM; halved Gaussian stores
+    # are offset by bf16 window-alignment overhead), so f32 stays the
+    # default and split remains an opt-in HBM-footprint knob. Details in
+    # BENCH.md round 5.
     storage_dtype: str = "float32"
     # Newton-refinement kernel strategy on TPU: "tile" = tile-grouped kernel
     # (all 5 steps from VMEM-resident DoG windows, one launch; escapes fall
